@@ -1,0 +1,263 @@
+"""Typed experiment configuration.
+
+The reference keeps a YAML schema that nothing parses (the ``feature_cols``
+block at /root/reference/config/fibinet_config.yaml:32-39 is dead
+documentation, and vocab sizes 91718/20000/11 are hardcoded at
+/root/reference/src/model_fibinet.py:100-102). Here the schema is the single
+source of truth: the feature map, embedding tables, and input pipeline are all
+constructed from these dataclasses.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Any, Mapping, Sequence
+
+
+class FeatureType(str, enum.Enum):
+    """Kind of input column.
+
+    CATEGORICAL     integer id -> learned embedding row.
+    SEQUENCE        variable-length list of integer ids (padded with
+                    ``pad_id``); pooled by the model (mean / attention).
+    DENSE_EMBEDDING pre-computed float vector (e.g. the frozen 128-d
+                    multimodal item vectors, readme.md:67-72 of the
+                    reference), optionally projected by the model.
+    PLACEHOLDER     a declared field that contributes a zeros embedding —
+                    reproduces the reference's "user" field which is
+                    stacked as zeros (model_fibinet.py:152) while the
+                    column itself is ignored.
+    LABEL           the supervision column.
+    META            carried through the pipeline but not fed to the model
+                    (e.g. row ids).
+    """
+
+    CATEGORICAL = "categorical"
+    SEQUENCE = "sequence"
+    DENSE_EMBEDDING = "dense_embedding"
+    PLACEHOLDER = "placeholder"
+    LABEL = "label"
+    META = "meta"
+
+
+@dataclasses.dataclass(frozen=True)
+class FeatureSpec:
+    """One input column and how the model should treat it."""
+
+    name: str
+    type: FeatureType
+    # Vocab size for CATEGORICAL / SEQUENCE (rows in the embedding table).
+    vocab_size: int | None = None
+    # Share an embedding table with another feature (by that feature's name).
+    # The reference shares one table between likes_level/views_level
+    # (model_fibinet.py:102,155-156) and between item_id/item_seq
+    # (model_fibinet.py:159,167).
+    share_embedding: str | None = None
+    # Padding id for SEQUENCE features; that table row is zeroed and padded
+    # steps are excluded from pooling (model_fibinet.py:100,168-174).
+    pad_id: int = 0
+    # Max sequence length; longer sequences keep the LAST max_len entries
+    # (dataloader.py:113-115).
+    max_len: int | None = None
+    # Dimensionality for DENSE_EMBEDDING inputs.
+    dense_dim: int | None = None
+    # Whether the field participates in the interaction stack.
+    active: bool = True
+    # Provenance tag (e.g. "item" when the value is joined from item_info).
+    source: str | None = None
+
+    def __post_init__(self) -> None:
+        if self.type in (FeatureType.CATEGORICAL, FeatureType.SEQUENCE):
+            if self.share_embedding is None and not self.vocab_size:
+                raise ValueError(
+                    f"feature {self.name!r}: {self.type.value} features need "
+                    "vocab_size (or share_embedding)"
+                )
+        if self.type == FeatureType.SEQUENCE and not self.max_len:
+            raise ValueError(f"feature {self.name!r}: sequence features need max_len")
+        if self.type == FeatureType.DENSE_EMBEDDING and not self.dense_dim:
+            raise ValueError(f"feature {self.name!r}: dense features need dense_dim")
+
+
+@dataclasses.dataclass(frozen=True)
+class DatasetConfig:
+    """Paths + schema for one dataset (dataset_config block in the YAML)."""
+
+    dataset_id: str
+    features: tuple[FeatureSpec, ...]
+    label: str = "label"
+    data_root: str = ""
+    train_data: str = ""
+    valid_data: str = ""
+    test_data: str = ""
+    item_info: str = ""
+    # Column in item_info holding the frozen multimodal vectors.
+    item_info_key: str = "item_id"
+    item_info_emb_col: str = "item_emb_d128"
+
+    def feature(self, name: str) -> FeatureSpec:
+        for f in self.features:
+            if f.name == name:
+                return f
+        raise KeyError(name)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture hyper-parameters shared across the model zoo."""
+
+    model: str = "mm_fibinet"
+    embedding_dim: int = 128
+    # FiBiNET (model_fibinet.py:114,118; reference hardcodes "all"/r=2 —
+    # code wins over its YAML per SURVEY §5.6).
+    bilinear_type: str = "all"  # "all" | "each"
+    senet_reduction: int = 2
+    senet_bias: bool = True  # reference keeps default Linear bias
+    # DNN tower (model_fibinet.py:125-135).
+    hidden_units: tuple[int, ...] = (512, 256)
+    net_dropout: float = 0.2
+    batch_norm: bool = True
+    # xDeepFM CIN layer widths.
+    cin_layer_units: tuple[int, ...] = (64, 64)
+    # FinalMLP stream widths + fusion heads.
+    finalmlp_stream1_units: tuple[int, ...] = (512, 256)
+    finalmlp_stream2_units: tuple[int, ...] = (512, 256)
+    finalmlp_num_heads: int = 8
+    # SASRec-style attention pooling over the click history.
+    attn_num_heads: int = 2
+    attn_num_layers: int = 1
+    attn_dropout: float = 0.1
+    # Use fused Pallas kernels for the interaction block when on TPU.
+    use_pallas: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimization / loop hyper-parameters (MM_FiBiNET_Run block)."""
+
+    batch_size: int = 4096
+    epochs: int = 40
+    # torch.optim.Adam in the reference code (train_fibinet.py:78) despite
+    # "adamw" in its YAML; both supported, "adam" reproduces the logged run.
+    optimizer: str = "adam"  # "adam" | "adamw" | "adagrad"
+    learning_rate: float = 1e-3
+    weight_decay: float = 1e-5
+    # OneCycleLR max_lr = onecycle_peak_factor * learning_rate
+    # (train_fibinet.py:83-92).
+    lr_schedule: str = "onecycle"  # "onecycle" | "constant"
+    onecycle_peak_factor: float = 10.0
+    onecycle_pct_start: float = 0.3
+    onecycle_div_factor: float = 25.0
+    onecycle_final_div_factor: float = 1000.0
+    grad_clip_norm: float = 10.0  # train_fibinet.py:119
+    seed: int = 2025
+    shuffle: bool = True
+    monitor: str = "auc"
+    monitor_mode: str = "max"
+    log_every: int = 200  # console cadence, train_fibinet.py:127
+    eval_batch_size: int = 8192
+    num_eval_threshold_bins: int = 0  # 0 => exact (sort-based) AUC
+    save_best_only: bool = True
+    checkpoint_dir: str = "checkpoints"
+    keep_checkpoints: int = 3
+    # Mixed precision: params fp32, interaction/tower compute bf16.
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout. data axis shards the batch; model axis shards
+    embedding-table rows (SURVEY §2.3)."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    # -1 = all remaining devices.
+    data_parallel: int = -1
+    model_parallel: int = 1
+
+    @property
+    def axis_names(self) -> tuple[str, str]:
+        return (self.data_axis, self.model_axis)
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    expid: str
+    dataset: DatasetConfig
+    model: ModelConfig
+    train: TrainConfig
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+    def replace(self, **kw: Any) -> "ExperimentConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def _tupled(value: Sequence[int] | None, default: tuple[int, ...]) -> tuple[int, ...]:
+    if value is None:
+        return default
+    return tuple(int(v) for v in value)
+
+
+def model_config_from_dict(d: Mapping[str, Any]) -> ModelConfig:
+    base = ModelConfig()
+    return ModelConfig(
+        model=str(d.get("model", base.model)).lower(),
+        embedding_dim=int(d.get("embedding_dim", base.embedding_dim)),
+        bilinear_type=str(d.get("bilinear_type", base.bilinear_type)),
+        senet_reduction=int(d.get("senet_reduction", base.senet_reduction)),
+        senet_bias=bool(d.get("senet_bias", base.senet_bias)),
+        hidden_units=_tupled(d.get("hidden_units"), base.hidden_units),
+        net_dropout=float(d.get("net_dropout", base.net_dropout)),
+        batch_norm=bool(d.get("batch_norm", base.batch_norm)),
+        cin_layer_units=_tupled(d.get("cin_layer_units"), base.cin_layer_units),
+        finalmlp_stream1_units=_tupled(
+            d.get("finalmlp_stream1_units"), base.finalmlp_stream1_units
+        ),
+        finalmlp_stream2_units=_tupled(
+            d.get("finalmlp_stream2_units"), base.finalmlp_stream2_units
+        ),
+        finalmlp_num_heads=int(d.get("finalmlp_num_heads", base.finalmlp_num_heads)),
+        attn_num_heads=int(d.get("attn_num_heads", base.attn_num_heads)),
+        attn_num_layers=int(d.get("attn_num_layers", base.attn_num_layers)),
+        attn_dropout=float(d.get("attn_dropout", base.attn_dropout)),
+        use_pallas=bool(d.get("use_pallas", base.use_pallas)),
+    )
+
+
+def train_config_from_dict(d: Mapping[str, Any]) -> TrainConfig:
+    base = TrainConfig()
+    return TrainConfig(
+        batch_size=int(d.get("batch_size", base.batch_size)),
+        epochs=int(d.get("epochs", base.epochs)),
+        optimizer=str(d.get("optimizer", base.optimizer)).lower(),
+        learning_rate=float(d.get("learning_rate", base.learning_rate)),
+        weight_decay=float(d.get("weight_decay", base.weight_decay)),
+        lr_schedule=str(d.get("lr_schedule", base.lr_schedule)).lower(),
+        onecycle_peak_factor=float(
+            d.get("onecycle_peak_factor", base.onecycle_peak_factor)
+        ),
+        onecycle_pct_start=float(d.get("onecycle_pct_start", base.onecycle_pct_start)),
+        onecycle_div_factor=float(
+            d.get("onecycle_div_factor", base.onecycle_div_factor)
+        ),
+        onecycle_final_div_factor=float(
+            d.get("onecycle_final_div_factor", base.onecycle_final_div_factor)
+        ),
+        grad_clip_norm=float(d.get("grad_clip_norm", base.grad_clip_norm)),
+        seed=int(d.get("seed", base.seed)),
+        shuffle=bool(d.get("shuffle", base.shuffle)),
+        monitor=str(d.get("monitor", base.monitor)).lower(),
+        monitor_mode=str(d.get("monitor_mode", base.monitor_mode)).lower(),
+        log_every=int(d.get("log_every", base.log_every)),
+        eval_batch_size=int(d.get("eval_batch_size", base.eval_batch_size)),
+        num_eval_threshold_bins=int(
+            d.get("num_eval_threshold_bins", base.num_eval_threshold_bins)
+        ),
+        save_best_only=bool(d.get("save_best_only", base.save_best_only)),
+        checkpoint_dir=str(d.get("checkpoint_dir", base.checkpoint_dir)),
+        keep_checkpoints=int(d.get("keep_checkpoints", base.keep_checkpoints)),
+        compute_dtype=str(d.get("compute_dtype", base.compute_dtype)),
+        param_dtype=str(d.get("param_dtype", base.param_dtype)),
+    )

@@ -1,0 +1,130 @@
+"""Synthetic MicroLens-shaped dataset generator.
+
+Produces train/valid/test/item_info parquet files with the reference data
+contract (readme.md:30-37,67-72: columns user_id, item_id, likes_level,
+views_level, item_seq, label; item_info with an ``item_emb_d128``
+list-of-128-floats column, L2-normalized, zeros allowed for missing items).
+
+Labels are drawn from a planted logistic model over item/category latent
+factors + history overlap, so a correct trainer must be able to push AUC well
+above 0.5 — this is the integration-test and benchmark workload when the real
+MicroLens_1M parquet is not present.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def make_synthetic_tables(
+    num_rows: int = 20000,
+    num_items: int = 2000,
+    num_users: int = 500,
+    cate_vocab: int = 11,
+    max_len: int = 20,
+    mm_dim: int = 128,
+    latent_dim: int = 8,
+    seed: int = 0,
+):
+    """Returns (rows: dict of np arrays with variable-length item_seq lists,
+    item_info: dict)."""
+    rng = np.random.default_rng(seed)
+
+    item_factors = rng.normal(size=(num_items + 1, latent_dim)) / np.sqrt(latent_dim)
+    item_factors[0] = 0.0  # pad id
+    item_pop = rng.normal(size=num_items + 1) * 0.5
+    cate_of_item = rng.integers(0, cate_vocab, size=num_items + 1)
+
+    user_id = rng.integers(0, num_users, size=num_rows).astype(np.int64)
+    item_id = rng.integers(1, num_items + 1, size=num_rows).astype(np.int64)
+    likes_level = rng.integers(0, cate_vocab, size=num_rows).astype(np.int64)
+    views_level = rng.integers(0, cate_vocab, size=num_rows).astype(np.int64)
+
+    seq_lens = rng.integers(0, max_len + 1, size=num_rows)
+    item_seq = [
+        rng.integers(1, num_items + 1, size=l).astype(np.int64) for l in seq_lens
+    ]
+
+    # planted CTR signal: item popularity + mean history-target affinity
+    # + category match
+    logits = item_pop[item_id].copy()
+    for r in range(num_rows):
+        if seq_lens[r]:
+            hist = item_factors[item_seq[r]].mean(axis=0)
+            logits[r] += 3.0 * float(hist @ item_factors[item_id[r]])
+            logits[r] += 0.5 * float(
+                np.mean(cate_of_item[item_seq[r]] == cate_of_item[item_id[r]])
+            )
+    logits += 0.3 * (likes_level - cate_vocab / 2) / cate_vocab
+    logits -= np.mean(logits)
+    label = (rng.random(num_rows) < 1.0 / (1.0 + np.exp(-logits))).astype(np.float32)
+
+    rows = {
+        "user_id": user_id,
+        "item_seq": item_seq,
+        "likes_level": likes_level,
+        "views_level": views_level,
+        "item_id": item_id,
+        "label": label,
+    }
+
+    # item_info: mm vector correlated with the latent factor, L2-normalized
+    proj = rng.normal(size=(latent_dim, mm_dim))
+    mm = item_factors @ proj + 0.1 * rng.normal(size=(num_items + 1, mm_dim))
+    mm /= np.maximum(np.linalg.norm(mm, axis=1, keepdims=True), 1e-8)
+    item_info = {
+        "item_id": np.arange(num_items + 1, dtype=np.int64),
+        "item_emb_d128": [v.astype(np.float32) for v in mm],
+    }
+    return rows, item_info
+
+
+def write_synthetic_dataset(
+    root: str,
+    num_rows: int = 20000,
+    valid_frac: float = 0.15,
+    test_frac: float = 0.1,
+    seed: int = 0,
+    **kw,
+) -> dict[str, str]:
+    """Write train/valid/test/item_info parquet under ``root``."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(root, exist_ok=True)
+    rows, item_info = make_synthetic_tables(num_rows=num_rows, seed=seed, **kw)
+
+    n = num_rows
+    n_test = int(n * test_frac)
+    n_valid = int(n * valid_frac)
+    splits = {
+        "train": slice(0, n - n_valid - n_test),
+        "valid": slice(n - n_valid - n_test, n - n_test),
+        "test": slice(n - n_test, n),
+    }
+    paths = {}
+    for name, sl in splits.items():
+        cols = {}
+        for k, v in rows.items():
+            if name == "test" and k == "label":
+                continue
+            vv = v[sl]
+            cols[k] = pa.array(list(vv)) if isinstance(v, list) else pa.array(vv)
+        path = os.path.join(root, f"{name}.parquet")
+        pq.write_table(pa.table(cols), path)
+        paths[name] = path
+
+    info_path = os.path.join(root, "item_info.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "item_id": pa.array(item_info["item_id"]),
+                "item_emb_d128": pa.array([list(map(float, v)) for v in item_info["item_emb_d128"]]),
+            }
+        ),
+        info_path,
+    )
+    paths["item_info"] = info_path
+    return paths

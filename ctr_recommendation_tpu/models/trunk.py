@@ -1,0 +1,148 @@
+"""Shared embedding trunk: FeatureMap -> (B, F, E) field stack.
+
+Every model in the zoo (FiBiNET, xDeepFM, FinalMLP, SASRec-FiBiNET) shares
+this trunk: embedding tables built from the feature map (honoring
+share_embedding and pad rows), dense multimodal vectors projected through
+Linear -> LayerNorm -> ReLU (model_fibinet.py:105-109), placeholder fields as
+zeros (model_fibinet.py:152), and sequence fields pooled by masked mean
+(model_fibinet.py:165-174) or SASRec-style target-aware attention
+(BASELINE.json configs[4]).
+
+Distributed: the ``tables`` sub-tree is the only part that is row-sharded
+over the ``model`` mesh axis; everything else is replicated. The gather here
+is a plain ``table[ids]`` — under pjit, GSPMD turns it into the all-gather /
+all-to-all exchange; parallel/embedding.py provides the explicit shard_map
+lookup used by the distributed train step.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ctr_recommendation_tpu.config.schema import FeatureType, ModelConfig
+from ctr_recommendation_tpu.features.feature_map import FeatureMap
+from ctr_recommendation_tpu.ops import attention as attn_ops
+from ctr_recommendation_tpu.ops import pooling
+from ctr_recommendation_tpu.ops.initializers import (
+    embedding_init,
+    linear_apply,
+    linear_init,
+)
+
+LN_EPS = 1e-5  # torch nn.LayerNorm default
+
+
+def init(key: jax.Array, fm: FeatureMap, cfg: ModelConfig, *, seq_pooling: str = "mean") -> dict:
+    e = cfg.embedding_dim
+    params: dict = {"tables": {}, "dense": {}}
+    key_iter = iter(jax.random.split(key, len(fm.tables) + len(fm.features) + 2))
+    for t in fm.tables:
+        params["tables"][t.name] = embedding_init(
+            next(key_iter), t.vocab_size, e, pad_id=t.pad_id
+        )
+    for f in fm.features_of_type(FeatureType.DENSE_EMBEDDING):
+        params["dense"][f.name] = {
+            "proj": linear_init(next(key_iter), f.dense_dim, e),
+            "ln_scale": jnp.ones((e,)),
+            "ln_bias": jnp.zeros((e,)),
+        }
+    if seq_pooling == "attention":
+        seq_feats = fm.features_of_type(FeatureType.SEQUENCE)
+        params["attn"] = {
+            f.name: attn_ops.init(
+                next(key_iter),
+                e,
+                f.max_len,
+                num_heads=cfg.attn_num_heads,
+                num_layers=cfg.attn_num_layers,
+            )
+            for f in seq_feats
+        }
+    return params
+
+
+def _layer_norm(x, scale, bias):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + LN_EPS) * scale + bias
+
+
+def apply(
+    params: dict,
+    fm: FeatureMap,
+    cfg: ModelConfig,
+    batch: dict[str, jax.Array],
+    *,
+    seq_pooling: str = "mean",
+    train: bool = False,
+    rng: jax.Array | None = None,
+    compute_dtype=jnp.float32,
+    lookup: Callable[[dict, str, jax.Array], jax.Array] | None = None,
+) -> jax.Array:
+    """batch dict -> field stack (B, F, E), fields in feature-map order.
+
+    ``lookup(tables, table_name, ids)`` overrides the embedding gather — the
+    distributed path injects the shard_map all-to-all lookup here.
+    """
+    if lookup is None:
+        lookup = lambda tables, name, ids: tables[name][ids]
+
+    e = cfg.embedding_dim
+    batch_size = None
+    for f in fm.features:
+        if f.name in batch:
+            batch_size = batch[f.name].shape[0]
+            break
+    if batch_size is None:
+        raise ValueError("batch contains none of the feature-map features")
+
+    fields = []
+    for f in fm.features:
+        if f.type == FeatureType.PLACEHOLDER:
+            fields.append(jnp.zeros((batch_size, e), dtype=compute_dtype))
+        elif f.type == FeatureType.CATEGORICAL:
+            ids = batch[f.name].astype(jnp.int32)
+            emb = lookup(params["tables"], fm.table_of[f.name], ids)
+            fields.append(emb.astype(compute_dtype))
+        elif f.type == FeatureType.DENSE_EMBEDDING:
+            p = params["dense"][f.name]
+            h = linear_apply(p["proj"], batch[f.name].astype(jnp.float32))
+            h = _layer_norm(h, p["ln_scale"], p["ln_bias"])
+            fields.append(jax.nn.relu(h).astype(compute_dtype))
+        elif f.type == FeatureType.SEQUENCE:
+            seq_ids = batch[f.name].astype(jnp.int32)
+            seq_emb = lookup(params["tables"], fm.table_of[f.name], seq_ids).astype(
+                compute_dtype
+            )
+            if seq_pooling == "attention":
+                encoded = attn_ops.encode(
+                    params["attn"][f.name],
+                    seq_emb,
+                    seq_ids,
+                    num_heads=cfg.attn_num_heads,
+                    pad_id=f.pad_id,
+                    train=train,
+                    dropout_rate=cfg.attn_dropout,
+                    rng=None if rng is None else jax.random.fold_in(rng, hash(f.name) % (2**31)),
+                )
+                # target = the item_id field's embedding if present, else mean
+                target_name = fm.table_of[f.name]
+                if target_name in batch:
+                    target = lookup(
+                        params["tables"], target_name, batch[target_name].astype(jnp.int32)
+                    ).astype(compute_dtype)
+                else:
+                    target = pooling.masked_mean(seq_emb, seq_ids, f.pad_id)
+                fields.append(
+                    attn_ops.target_pool(
+                        params["attn"][f.name], encoded, seq_ids, target, pad_id=f.pad_id
+                    )
+                )
+            else:
+                fields.append(pooling.masked_mean(seq_emb, seq_ids, f.pad_id))
+        else:
+            raise ValueError(f"unsupported feature type {f.type}")
+    return jnp.stack(fields, axis=1)  # (B, F, E)

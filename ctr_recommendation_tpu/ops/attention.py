@@ -1,0 +1,135 @@
+"""SASRec-style self-attention pooling over the click history.
+
+Scope from BASELINE.json configs[4]: replace the reference's masked mean
+pooling (model_fibinet.py:165-174) with (a) learned positional embeddings +
+N pre-LayerNorm transformer blocks (MHSA + pointwise FFN) over the ≤20-step
+history, then (b) target-aware attention pooling: the candidate item's
+embedding queries the encoded history, and the attention-weighted sum becomes
+the Hist field fed into the FiBiNET interaction stack.
+
+Seq len ≤ 20 and E = 128, so one fused dot-product attention is optimal —
+no flash/ring machinery (SURVEY §5.7). Padding steps are masked with -inf
+before softmax; a fully-empty history yields a zeros vector (parity with the
+reference's zeros fallback, model_fibinet.py:176).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ctr_recommendation_tpu.ops.initializers import linear_apply, linear_init
+
+_NEG_INF = -1e9
+
+
+def init(
+    key: jax.Array,
+    emb_dim: int,
+    max_len: int,
+    num_heads: int = 2,
+    num_layers: int = 1,
+) -> dict:
+    if emb_dim % num_heads:
+        raise ValueError(f"emb_dim {emb_dim} not divisible by num_heads {num_heads}")
+    keys = jax.random.split(key, 1 + 5 * num_layers + 1)
+    params: dict = {
+        "pos_emb": 0.02 * jax.random.normal(keys[0], (max_len, emb_dim)),
+        "blocks": [],
+    }
+    ki = 1
+    for _ in range(num_layers):
+        block = {
+            "qkv": linear_init(keys[ki], emb_dim, 3 * emb_dim),
+            "proj": linear_init(keys[ki + 1], emb_dim, emb_dim),
+            "ln1_scale": jnp.ones((emb_dim,)),
+            "ln1_bias": jnp.zeros((emb_dim,)),
+            "ffn1": linear_init(keys[ki + 2], emb_dim, 4 * emb_dim),
+            "ffn2": linear_init(keys[ki + 3], 4 * emb_dim, emb_dim),
+            "ln2_scale": jnp.ones((emb_dim,)),
+            "ln2_bias": jnp.zeros((emb_dim,)),
+        }
+        ki += 4
+        params["blocks"].append(block)
+    params["pool_q"] = linear_init(keys[ki], emb_dim, emb_dim)
+    return params
+
+
+def _layer_norm(x, scale, bias, eps=1e-6):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+def _mhsa(block, h, pad_mask, num_heads):
+    b, s, e = h.shape
+    d = e // num_heads
+    qkv = linear_apply(block["qkv"], h).reshape(b, s, 3, num_heads, d)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, S, H, D)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(d).astype(h.dtype)
+    logits = jnp.where(pad_mask[:, None, None, :], _NEG_INF, logits)
+    attn = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, s, e)
+    return linear_apply(block["proj"], out)
+
+
+def encode(
+    params: dict,
+    seq_emb: jax.Array,
+    seq_ids: jax.Array,
+    *,
+    num_heads: int,
+    pad_id: int = 0,
+    train: bool = False,
+    dropout_rate: float = 0.0,
+    rng: jax.Array | None = None,
+) -> jax.Array:
+    """seq_emb (B, S, E), seq_ids (B, S) -> encoded history (B, S, E)."""
+    s = seq_emb.shape[-2]
+    pad_mask = seq_ids == pad_id  # (B, S) True at padding
+    h = seq_emb + params["pos_emb"][:s].astype(seq_emb.dtype)
+    h = jnp.where(pad_mask[..., None], 0.0, h)
+    for li, block in enumerate(params["blocks"]):
+        hn = _layer_norm(h, block["ln1_scale"], block["ln1_bias"]).astype(h.dtype)
+        a = _mhsa(block, hn, pad_mask, num_heads)
+        if train and dropout_rate > 0.0 and rng is not None:
+            keep = 1.0 - dropout_rate
+            mask = jax.random.bernoulli(
+                jax.random.fold_in(rng, 2 * li), keep, a.shape
+            )
+            a = jnp.where(mask, a / keep, 0.0)
+        h = h + a
+        hn = _layer_norm(h, block["ln2_scale"], block["ln2_bias"]).astype(h.dtype)
+        f = linear_apply(block["ffn2"], jax.nn.relu(linear_apply(block["ffn1"], hn)))
+        if train and dropout_rate > 0.0 and rng is not None:
+            keep = 1.0 - dropout_rate
+            mask = jax.random.bernoulli(
+                jax.random.fold_in(rng, 2 * li + 1), keep, f.shape
+            )
+            f = jnp.where(mask, f / keep, 0.0)
+        h = h + f
+        h = jnp.where(pad_mask[..., None], 0.0, h)
+    return h
+
+
+def target_pool(
+    params: dict,
+    encoded: jax.Array,
+    seq_ids: jax.Array,
+    target_emb: jax.Array,
+    *,
+    pad_id: int = 0,
+) -> jax.Array:
+    """Target-aware pooling: candidate item queries the encoded history.
+
+    encoded (B, S, E), target_emb (B, E) -> (B, E). All-pad rows -> zeros.
+    """
+    e = encoded.shape[-1]
+    q = linear_apply(params["pool_q"], target_emb)  # (B, E)
+    logits = jnp.einsum("be,bse->bs", q, encoded) / jnp.sqrt(e).astype(encoded.dtype)
+    pad_mask = seq_ids == pad_id
+    logits = jnp.where(pad_mask, _NEG_INF, logits)
+    attn = jax.nn.softmax(logits, axis=-1)
+    pooled = jnp.einsum("bs,bse->be", attn, encoded)
+    any_real = jnp.any(~pad_mask, axis=-1, keepdims=True)
+    return jnp.where(any_real, pooled, 0.0)

@@ -1,0 +1,192 @@
+"""Fused SENet + bilinear + concat Pallas TPU kernel.
+
+Computes the whole FiBiNET interaction block for a batch tile while the field
+stack stays resident in VMEM:
+
+    z = mean_E(X); w = sigmoid(relu(z@W1+b1)@W2+b2); S = X * w
+    V = S @ W  (or per-field W_i);  P_k = S[i_k] * V[j_k]
+    out = [S.flat ‖ P.flat]   (B, (F + F(F-1)/2) * E)
+
+Unfused, XLA materializes S (B,F,E), V (B,F,E) and P (B,P,E) in HBM between
+ops; fused, HBM traffic is one read of X and one write of out — the block is
+bandwidth-bound at E=128/F=6 (the only matmul is the (B·F,E)x(E,E)
+projection), so this ~2.5x HBM traffic cut is the win.
+
+Forward runs in Pallas; backward is delegated to the jnp reference via
+``jax.custom_vjp`` (XLA fuses it well; a hand-written bwd kernel is a later
+optimization). On non-TPU backends the kernel runs in interpreter mode so
+CPU tests exercise the same code path.
+
+Reference behavior being fused: model_fibinet.py:24-35 (SENet), :60-89
+(bilinear), :191-194 (concat).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ctr_recommendation_tpu.ops.bilinear import pair_indices
+from ctr_recommendation_tpu.ops.interaction import senet_bilinear_concat_reference
+
+_LANE = 128
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _kernel_all(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w_ref, out_ref, *, num_fields):
+    """bilinear_type="all" tile kernel. x_ref: (TB, F, E); out: (TB, (F+P)*E)."""
+    x = x_ref[:].astype(jnp.float32)  # (TB, F, E)
+    e = x.shape[-1]
+    # --- SENet ---
+    z = jnp.mean(x, axis=-1)  # (TB, F)
+    a = jnp.maximum(
+        jnp.dot(z, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:], 0.0
+    )
+    w = jax.nn.sigmoid(
+        jnp.dot(a, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
+    )  # (TB, F)
+    s = x * w[..., None]  # (TB, F, E)
+    # --- bilinear projection: one MXU matmul over the flattened fields ---
+    tb = s.shape[0]
+    v = jnp.dot(
+        s.reshape(tb * num_fields, e), w_ref[:], preferred_element_type=jnp.float32
+    ).reshape(tb, num_fields, e)
+    # --- concat [S.flat || pairs] via static per-field column writes ---
+    for f in range(num_fields):
+        out_ref[:, f * e : (f + 1) * e] = s[:, f, :]
+    i_idx, j_idx = pair_indices(num_fields)
+    base = num_fields * e
+    for k, (i, j) in enumerate(zip(i_idx, j_idx)):
+        out_ref[:, base + k * e : base + (k + 1) * e] = s[:, int(i), :] * v[:, int(j), :]
+
+
+def _kernel_each(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w_ref, out_ref, *, num_fields):
+    """bilinear_type="each": w_ref is (F-1, E, E); v_i = s_i @ W_i."""
+    x = x_ref[:].astype(jnp.float32)
+    e = x.shape[-1]
+    z = jnp.mean(x, axis=-1)
+    a = jnp.maximum(
+        jnp.dot(z, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:], 0.0
+    )
+    w = jax.nn.sigmoid(
+        jnp.dot(a, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
+    )
+    s = x * w[..., None]
+    for f in range(num_fields):
+        out_ref[:, f * e : (f + 1) * e] = s[:, f, :]
+    v = [
+        jnp.dot(s[:, f, :], w_ref[f], preferred_element_type=jnp.float32)
+        for f in range(num_fields - 1)
+    ]
+    i_idx, j_idx = pair_indices(num_fields)
+    base = num_fields * e
+    for k, (i, j) in enumerate(zip(i_idx, j_idx)):
+        out_ref[:, base + k * e : base + (k + 1) * e] = v[int(i)] * s[:, int(j), :]
+
+
+def _forward(senet_params, bilinear_params, x, *, bilinear_type, block_b):
+    b, f, e = x.shape
+    num_pairs = f * (f - 1) // 2
+    out_dim = (f + num_pairs) * e
+
+    pad_b = (-b) % block_b
+    if pad_b:
+        x = jnp.pad(x, ((0, pad_b), (0, 0), (0, 0)))
+    padded_b = b + pad_b
+
+    kernel = _kernel_all if bilinear_type == "all" else _kernel_each
+    w_bi = (
+        bilinear_params["w"] if bilinear_type == "all" else bilinear_params["w_each"]
+    )
+    w_specs_shape = w_bi.shape
+
+    fc1, fc2 = senet_params["fc1"], senet_params["fc2"]
+    reduced = fc1["w"].shape[1]
+    b1 = fc1.get("b", jnp.zeros((reduced,)))
+    b2 = fc2.get("b", jnp.zeros((f,)))
+
+    grid = (padded_b // block_b,)
+    out = pl.pallas_call(
+        functools.partial(kernel, num_fields=f),
+        out_shape=jax.ShapeDtypeStruct((padded_b, out_dim), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, f, e), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(fc1["w"].shape, lambda i: (0,) * 2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(b1.shape, lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec(fc2["w"].shape, lambda i: (0,) * 2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(b2.shape, lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                w_specs_shape, lambda i: (0,) * len(w_specs_shape), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_b, out_dim), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * padded_b * f * e * e,
+            bytes_accessed=4 * padded_b * (f * e + out_dim),
+            transcendentals=padded_b * f,
+        ),
+        interpret=_interpret(),
+    )(
+        x.astype(jnp.float32),
+        fc1["w"].astype(jnp.float32),
+        b1.astype(jnp.float32),
+        fc2["w"].astype(jnp.float32),
+        b2.astype(jnp.float32),
+        w_bi.astype(jnp.float32),
+    )
+    return out[:b] if pad_b else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused(senet_params, bilinear_params, x, bilinear_type, block_b):
+    return _forward(
+        senet_params, bilinear_params, x, bilinear_type=bilinear_type, block_b=block_b
+    )
+
+
+def _fused_fwd(senet_params, bilinear_params, x, bilinear_type, block_b):
+    out = _forward(
+        senet_params, bilinear_params, x, bilinear_type=bilinear_type, block_b=block_b
+    )
+    return out, (senet_params, bilinear_params, x)
+
+
+def _fused_bwd(bilinear_type, block_b, residuals, g):
+    senet_params, bilinear_params, x = residuals
+    _, vjp = jax.vjp(
+        lambda sp, bp, xx: senet_bilinear_concat_reference(
+            sp, bp, xx, bilinear_type=bilinear_type
+        ).astype(g.dtype),
+        senet_params,
+        bilinear_params,
+        x,
+    )
+    return vjp(g)
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_senet_bilinear_concat(
+    senet_params: dict,
+    bilinear_params: dict,
+    x: jax.Array,
+    *,
+    bilinear_type: str = "all",
+    block_b: int = 256,
+) -> jax.Array:
+    """Drop-in replacement for the jnp reference path (same numerics)."""
+    b = x.shape[0]
+    block_b = min(block_b, max(8, 1 << (b - 1).bit_length()))
+    return _fused(senet_params, bilinear_params, x, bilinear_type, block_b)

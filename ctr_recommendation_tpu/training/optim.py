@@ -1,0 +1,58 @@
+"""Optimizers + LR schedules (optax), matching the reference's training recipe.
+
+The logged run (SURVEY §6) used torch.optim.Adam(lr, weight_decay=1e-5) —
+L2-coupled decay, NOT decoupled AdamW (train_fibinet.py:78 wins over the
+yaml's "adamw") — OneCycleLR(max_lr=10*lr, pct_start=0.3, div_factor=25,
+final_div_factor=1000, cosine anneal) stepped per batch
+(train_fibinet.py:83-92,122), and global-norm grad clipping at 10.0
+(train_fibinet.py:119). All three reproduced; "adamw" (decoupled) and
+"adagrad" (the classic sparse-table optimizer, BASELINE.json north star) are
+also provided.
+"""
+
+from __future__ import annotations
+
+import optax
+
+from ctr_recommendation_tpu.config.schema import TrainConfig
+
+
+def make_schedule(cfg: TrainConfig, total_steps: int) -> optax.Schedule:
+    if cfg.lr_schedule == "constant":
+        return optax.constant_schedule(cfg.learning_rate)
+    if cfg.lr_schedule == "onecycle":
+        return optax.cosine_onecycle_schedule(
+            transition_steps=max(total_steps, 1),
+            peak_value=cfg.learning_rate * cfg.onecycle_peak_factor,
+            pct_start=cfg.onecycle_pct_start,
+            div_factor=cfg.onecycle_div_factor,
+            final_div_factor=cfg.onecycle_final_div_factor,
+        )
+    raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
+
+
+def make_optimizer(
+    cfg: TrainConfig, total_steps: int
+) -> tuple[optax.GradientTransformation, optax.Schedule]:
+    schedule = make_schedule(cfg, total_steps)
+    parts = []
+    if cfg.grad_clip_norm and cfg.grad_clip_norm > 0:
+        parts.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
+    name = cfg.optimizer
+    if name == "adam":
+        # torch Adam semantics: L2 added to the gradient BEFORE the moments.
+        if cfg.weight_decay:
+            parts.append(optax.add_decayed_weights(cfg.weight_decay))
+        parts.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+    elif name == "adamw":
+        parts.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+        if cfg.weight_decay:
+            parts.append(optax.add_decayed_weights(cfg.weight_decay))
+    elif name == "adagrad":
+        parts.append(optax.scale_by_rss(initial_accumulator_value=0.1, eps=1e-10))
+        if cfg.weight_decay:
+            parts.append(optax.add_decayed_weights(cfg.weight_decay))
+    else:
+        raise ValueError(f"unknown optimizer {name!r}")
+    parts.append(optax.scale_by_learning_rate(schedule))
+    return optax.chain(*parts), schedule
