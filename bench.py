@@ -1,0 +1,108 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline metric: batched scoring throughput (rows/s) on the flagship
+MM-FiBiNET at full MicroLens size (E=128, item vocab 91718, eval batch 8192)
+on the available accelerator. Baseline: the reference's logged inference
+throughput, ~163K rows/s on a Kaggle GPU including its per-batch pandas join
+(BASELINE.md; Notebooks/train_predict_kaggle.ipynb cell 7: 47x8192 rows in
+2.36 s). Extra fields carry train-step throughput and scoring p50 latency.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_INFER_ROWS_PER_SEC = 163_000.0
+
+
+def main() -> None:
+    import dataclasses
+
+    from ctr_recommendation_tpu.config import microlens_experiment
+    from ctr_recommendation_tpu.features import build_feature_map
+    from ctr_recommendation_tpu.models import build_model
+    from ctr_recommendation_tpu.training import Trainer
+    from __graft_entry__ import _fake_batch
+
+    on_tpu = jax.default_backend() == "tpu"
+    exp = microlens_experiment(data_root="", use_pallas=on_tpu)
+    fm = build_feature_map(exp.dataset)
+    cfg = exp.model
+    module, params, state = build_model(fm, cfg, jax.random.key(0))
+
+    rng = np.random.default_rng(0)
+    eval_bs = 8192
+
+    @jax.jit
+    def score(params, state, batch):
+        logits, _ = module.apply(
+            params, state, fm, cfg, batch, train=False, compute_dtype=jnp.bfloat16
+        )
+        return jax.nn.sigmoid(logits)
+
+    batch = _fake_batch(rng, eval_bs, 91718, 20, 128, with_label=False)
+    batch = jax.device_put(batch)
+    # warmup / compile
+    score(params, state, batch)[0].block_until_ready()
+
+    # --- scoring throughput + latency ---
+    lat = []
+    n_iters = 50
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        t = time.perf_counter()
+        score(params, state, batch).block_until_ready()
+        lat.append(time.perf_counter() - t)
+    dt = time.perf_counter() - t0
+    infer_rows_per_sec = n_iters * eval_bs / dt
+    p50_ms = float(np.percentile(lat, 50) * 1e3)
+
+    # --- train-step throughput ---
+    train_bs = 4096
+    trainer = Trainer(
+        exp.replace(
+            train=dataclasses.replace(
+                exp.train, batch_size=train_bs, checkpoint_dir="/tmp/bench_ckpt"
+            )
+        ),
+        steps_per_epoch=100,
+        log_fn=lambda s: None,
+    )
+    tb = _fake_batch(rng, train_bs, 91718, 20, 128)
+    tb = trainer.put_batch(tb)
+    key = jax.random.key(0)
+    trainer.state, _ = trainer._train_step(trainer.state, tb, key)  # compile
+    jax.block_until_ready(trainer.state.params)
+    n_train = 20
+    t0 = time.perf_counter()
+    for _ in range(n_train):
+        trainer.state, m = trainer._train_step(trainer.state, tb, key)
+    jax.block_until_ready(trainer.state.params)
+    train_rows_per_sec = n_train * train_bs / (time.perf_counter() - t0)
+
+    print(
+        json.dumps(
+            {
+                "metric": "inference_rows_per_sec",
+                "value": round(infer_rows_per_sec, 1),
+                "unit": "rows/s",
+                "vs_baseline": round(infer_rows_per_sec / BASELINE_INFER_ROWS_PER_SEC, 3),
+                "extra": {
+                    "backend": jax.default_backend(),
+                    "scoring_p50_ms": round(p50_ms, 3),
+                    "train_examples_per_sec": round(train_rows_per_sec, 1),
+                    "eval_batch": eval_bs,
+                    "train_batch": train_bs,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

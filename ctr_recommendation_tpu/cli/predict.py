@@ -1,0 +1,52 @@
+"""Predict CLI — the reference's ``python src/prediction.py`` as a real tool.
+
+Loads the best exported checkpoint, scores the test split at eval batch size
+with the BatchNorm-folded tower and tolerant item lookup, and writes the
+Kaggle submission pair (prediction_fibinet.csv + submission_fibinet.zip,
+Prediction.py:120-126 format).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="Batch scoring + submission")
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--model", default="mm_fibinet")
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--out-dir", default="output")
+    p.add_argument("--batch-size", type=int, default=8192)
+    p.add_argument("--embedding-dim", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from ctr_recommendation_tpu.config import microlens_experiment
+    from ctr_recommendation_tpu.data import ItemStore, iter_batches, load_split
+    from ctr_recommendation_tpu.features import build_feature_map
+    from ctr_recommendation_tpu.inference import Predictor, write_submission
+    from ctr_recommendation_tpu.training import Trainer
+
+    overrides = {"checkpoint_dir": args.checkpoint_dir}
+    if args.embedding_dim:
+        overrides["embedding_dim"] = args.embedding_dim
+    exp = microlens_experiment(data_root=args.data_root, model=args.model, **overrides)
+    fm = build_feature_map(exp.dataset)
+
+    test = load_split(exp.dataset.test_data, fm, include_label=False)
+    store = ItemStore.from_parquet(exp.dataset.item_info)
+    print(f"[data] test {test.num_rows} rows")
+
+    trainer = Trainer(exp, steps_per_epoch=1, log_fn=print)
+    trainer.load_best()
+    pred = Predictor(exp, trainer.state.params, trainer.state.model_state)
+
+    batches = iter_batches(test, fm, args.batch_size, item_store=store)
+    probs = pred.predict_all(batches)
+    csv_path, zip_path = write_submission(probs, args.out_dir)
+    print(f"[out] {csv_path}\n[out] {zip_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,139 @@
+"""Train CLI — the reference's ``python src/train_fibinet.py`` with real flags.
+
+Usage:
+    python -m ctr_recommendation_tpu.cli.train --data-root data/MicroLens_1M_x1
+    python -m ctr_recommendation_tpu.cli.train --config config.yaml --expid MM_FiBiNET_Run
+    python -m ctr_recommendation_tpu.cli.train --synthetic /tmp/synth --model xdeepfm
+
+The reference takes zero arguments and hardcodes paths with a ../ fallback
+(train_fibinet.py:18-24); this exposes dataset paths, model choice, epochs,
+and resume as flags while defaulting to the reference's exact recipe.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train a CTR model on TPU")
+    p.add_argument("--config", help="reference-compatible YAML config")
+    p.add_argument("--expid", help="experiment id in the YAML")
+    p.add_argument("--data-root", help="directory with train/valid/test/item_info parquet")
+    p.add_argument("--synthetic", metavar="DIR",
+                   help="generate a synthetic MicroLens-shaped dataset in DIR and train on it")
+    p.add_argument("--synthetic-rows", type=int, default=200_000)
+    p.add_argument("--model", default=None,
+                   help="model name (mm_fibinet | xdeepfm | finalmlp | sasrec_fibinet)")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--embedding-dim", type=int, default=None)
+    p.add_argument("--learning-rate", type=float, default=None)
+    p.add_argument("--optimizer", default=None)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--model-parallel", type=int, default=1)
+    p.add_argument("--no-pallas", action="store_true")
+    p.add_argument("--strict-items", action="store_true",
+                   help="raise on item_ids missing from item_info (reference train semantics)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+
+    from ctr_recommendation_tpu.config import load_experiment, microlens_experiment
+    from ctr_recommendation_tpu.config.schema import MeshConfig
+
+    overrides = {}
+    for k in ("epochs", "batch_size", "embedding_dim", "learning_rate", "optimizer",
+              "checkpoint_dir"):
+        v = getattr(args, k)
+        if v is not None:
+            overrides[k] = v
+    if args.no_pallas:
+        overrides["use_pallas"] = False
+
+    if args.synthetic:
+        from ctr_recommendation_tpu.data import write_synthetic_dataset
+
+        os.makedirs(args.synthetic, exist_ok=True)
+        if not os.path.exists(os.path.join(args.synthetic, "train.parquet")):
+            print(f"[synthetic] generating {args.synthetic_rows} rows in {args.synthetic}")
+            write_synthetic_dataset(args.synthetic, num_rows=args.synthetic_rows)
+        exp = microlens_experiment(
+            data_root=args.synthetic, model=args.model or "mm_fibinet", **overrides
+        )
+        import ctr_recommendation_tpu.config.loader as loader
+
+        exp = exp.replace(
+            dataset=dataclasses.replace(
+                exp.dataset,
+                features=loader.microlens_features(
+                    item_vocab=4097, cate_vocab=11, max_len=20, mm_dim=128
+                ),
+            )
+        )
+    elif args.config:
+        exp = load_experiment(args.config, expid=args.expid, data_root=args.data_root)
+        if args.model:
+            exp = exp.replace(model=dataclasses.replace(exp.model, model=args.model))
+        for k, v in overrides.items():
+            target = "model" if k in ("embedding_dim", "use_pallas") else "train"
+            exp = exp.replace(**{target: dataclasses.replace(getattr(exp, target), **{k: v})})
+    else:
+        if not args.data_root:
+            print("need --data-root, --config, or --synthetic", file=sys.stderr)
+            return 2
+        exp = microlens_experiment(
+            data_root=args.data_root, model=args.model or "mm_fibinet", **overrides
+        )
+    if args.model_parallel > 1:
+        exp = exp.replace(mesh=MeshConfig(model_parallel=args.model_parallel))
+
+    return run_training(exp, resume=args.resume, strict_items=args.strict_items)
+
+
+def run_training(exp, *, resume: bool = False, strict_items: bool = False) -> int:
+    from ctr_recommendation_tpu.data import ItemStore, iter_batches, load_split
+    from ctr_recommendation_tpu.features import build_feature_map
+    from ctr_recommendation_tpu.parallel.embedding import make_sharded_lookup
+    from ctr_recommendation_tpu.parallel.mesh import make_mesh
+    from ctr_recommendation_tpu.training import Trainer
+
+    fm = build_feature_map(exp.dataset)
+    print(f"[data] loading {exp.dataset.train_data}")
+    train = load_split(exp.dataset.train_data, fm)
+    valid = load_split(exp.dataset.valid_data, fm)
+    store = ItemStore.from_parquet(
+        exp.dataset.item_info,
+        id_col=exp.dataset.item_info_key,
+        emb_col=exp.dataset.item_info_emb_col,
+    )
+    print(f"[data] train {train.num_rows} rows, valid {valid.num_rows} rows")
+
+    mesh = make_mesh(exp.mesh)
+    lookup = make_sharded_lookup(mesh) if exp.mesh.model_parallel > 1 else None
+    bs = exp.train.batch_size
+    spe = max(train.num_rows // bs, 1)
+    trainer = Trainer(exp, mesh=mesh, steps_per_epoch=spe, lookup=lookup)
+
+    def train_batches(epoch):
+        return iter_batches(
+            train, fm, bs, shuffle=exp.train.shuffle, seed=exp.train.seed,
+            epoch=epoch, item_store=store, drop_last=True,
+            strict_items=strict_items,
+        )
+
+    def valid_batches():
+        return iter_batches(valid, fm, exp.train.eval_batch_size, item_store=store)
+
+    trainer.fit(train_batches, valid_batches, resume=resume)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -34,7 +34,7 @@ def make_synthetic_tables(
 
     item_factors = rng.normal(size=(num_items + 1, latent_dim)) / np.sqrt(latent_dim)
     item_factors[0] = 0.0  # pad id
-    item_pop = rng.normal(size=num_items + 1) * 0.5
+    item_pop = rng.normal(size=num_items + 1) * 1.0
     cate_of_item = rng.integers(0, cate_vocab, size=num_items + 1)
 
     user_id = rng.integers(0, num_users, size=num_rows).astype(np.int64)
@@ -47,8 +47,9 @@ def make_synthetic_tables(
         rng.integers(1, num_items + 1, size=l).astype(np.int64) for l in seq_lens
     ]
 
-    # planted CTR signal: item popularity + mean history-target affinity
-    # + category match
+    # planted CTR signal, dominated by components that GENERALIZE across
+    # iid splits (context levels, item popularity, history-target affinity)
+    # so a correct trainer separates cleanly from a memorizing one.
     logits = item_pop[item_id].copy()
     for r in range(num_rows):
         if seq_lens[r]:
@@ -57,7 +58,9 @@ def make_synthetic_tables(
             logits[r] += 0.5 * float(
                 np.mean(cate_of_item[item_seq[r]] == cate_of_item[item_id[r]])
             )
-    logits += 0.3 * (likes_level - cate_vocab / 2) / cate_vocab
+    half = (cate_vocab - 1) / 2.0
+    logits += 1.2 * (likes_level - half) / half
+    logits += 0.8 * (views_level - half) / half
     logits -= np.mean(logits)
     label = (rng.random(num_rows) < 1.0 / (1.0 + np.exp(-logits))).astype(np.float32)
 

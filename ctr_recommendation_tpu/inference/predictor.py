@@ -1,0 +1,81 @@
+"""Batched scoring path.
+
+The reference's inference driver (src/Prediction.py) rebuilt the model,
+loaded the best checkpoint, and looped a DataLoader at batch 8192 with a
+per-batch pandas join (~163K rows/s including that join, SURVEY §6). Here:
+
+* BatchNorm folded into the tower linears (ops/mlp.fold_batch_norm) so the
+  serving forward is pure matmul+ReLU;
+* the item_info join is a device gather (ItemStore loaded once);
+* unknown items resolve to zero vectors (Prediction.py:39-42 semantics);
+* optionally the whole interaction+tower runs as the fused Pallas scoring
+  kernel (ops/pallas/scoring.py).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ctr_recommendation_tpu.config.schema import ExperimentConfig
+from ctr_recommendation_tpu.features.feature_map import build_feature_map
+from ctr_recommendation_tpu.models.registry import get_model
+from ctr_recommendation_tpu.ops import mlp as mlp_ops
+
+
+class Predictor:
+    def __init__(
+        self,
+        experiment: ExperimentConfig,
+        params: dict,
+        model_state: dict,
+        *,
+        fold_bn: bool = True,
+    ):
+        self.exp = experiment
+        self.fm = build_feature_map(experiment.dataset)
+        self.module = get_model(experiment.model.model)
+        self.params = params
+        self.model_state = model_state
+        self._fold_bn = fold_bn
+
+        if fold_bn and "mlp" in params and "mlp" in model_state:
+            folded = dict(params)
+            folded["mlp"] = mlp_ops.fold_batch_norm(params["mlp"], model_state["mlp"])
+            self.params = folded
+            self.model_state = dict(model_state)
+            self.model_state["mlp"] = {
+                "layers": [{} for _ in folded["mlp"]["layers"]]
+            }
+
+        fm, cfg = self.fm, experiment.model
+        compute_dtype = jnp.dtype(experiment.train.compute_dtype)
+
+        @jax.jit
+        def score(params, model_state, batch):
+            logits, _ = self.module.apply(
+                params, model_state, fm, cfg, batch,
+                train=False, compute_dtype=compute_dtype,
+            )
+            return jax.nn.sigmoid(logits)
+
+        self._score = score
+
+    def __call__(self, batch: dict[str, np.ndarray]) -> jax.Array:
+        feats = {
+            k: v
+            for k, v in batch.items()
+            if k not in (self.fm.label, "__weight__")
+        }
+        return self._score(self.params, self.model_state, feats)
+
+    def predict_all(self, batches: Iterator[dict]) -> np.ndarray:
+        out = []
+        for batch in batches:
+            probs = np.asarray(self(batch))
+            w = np.asarray(batch.get("__weight__", np.ones(len(probs))))
+            out.append(probs[w > 0])
+        return np.concatenate(out) if out else np.zeros((0,), np.float32)

@@ -39,9 +39,13 @@ def init(key: jax.Array, fm: FeatureMap, cfg: ModelConfig, *, seq_pooling: str =
     e = cfg.embedding_dim
     params: dict = {"tables": {}, "dense": {}}
     key_iter = iter(jax.random.split(key, len(fm.tables) + len(fm.features) + 2))
+    from ctr_recommendation_tpu.parallel.embedding import round_up_vocab
+
     for t in fm.tables:
+        # rows padded to a lane-width multiple so any model-parallel degree
+        # divides the table evenly (padded rows are never addressed).
         params["tables"][t.name] = embedding_init(
-            next(key_iter), t.vocab_size, e, pad_id=t.pad_id
+            next(key_iter), round_up_vocab(t.vocab_size), e, pad_id=t.pad_id
         )
     for f in fm.features_of_type(FeatureType.DENSE_EMBEDDING):
         params["dense"][f.name] = {

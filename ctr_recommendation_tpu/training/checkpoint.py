@@ -1,0 +1,87 @@
+"""Checkpointing: full train-state save/resume + best-metric export.
+
+Fixes the reference's gaps (SURVEY §5.3-5.4): the reference saves model
+weights only, best-AUC-only, to one fixed path (train_fibinet.py:97-99,
+148-152) — training cannot resume, and a preemption loses everything. Here:
+
+* periodic full-state checkpoints (params + BatchNorm stats + optimizer
+  state + step + epoch + rng) via orbax — sharded arrays are saved per-host;
+* a separate "best" export (params + model_state only) selected on the
+  monitored metric, for serving — the analogue of FiBiNET_best.pth;
+* ``latest_step`` / ``restore`` for preemption-safe resume.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        directory = os.path.abspath(directory)
+        os.makedirs(directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True, enable_async_checkpointing=False
+            ),
+        )
+        self._best_dir = os.path.join(directory, "best")
+        self._best_ckpt = ocp.StandardCheckpointer()
+
+    def save(self, step: int, state: Any, extra: dict | None = None) -> None:
+        payload = {"state": state}
+        if extra:
+            payload["extra"] = extra
+        self._mgr.save(step, args=ocp.args.StandardSave(payload))
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> int | None:
+        return self._mgr.latest_step()
+
+    def restore(self, step: int | None, target: Any) -> Any:
+        """target: a pytree of like-shaped (possibly sharded) arrays."""
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError("no checkpoint found")
+        payload = {"state": target}
+        restored = self._mgr.restore(step, args=ocp.args.StandardRestore(payload))
+        return restored["state"]
+
+    def save_best(self, params: Any, model_state: Any, metric: float, step: int) -> None:
+        """Best-metric export for serving (reference: FiBiNET_best.pth)."""
+        path = os.path.join(self._best_dir, "export")
+        if os.path.exists(path):
+            import shutil
+
+            shutil.rmtree(path)
+        self._best_ckpt.save(
+            path,
+            {
+                "params": params,
+                "model_state": model_state,
+                "metric": jax.numpy.asarray(metric),
+                "step": jax.numpy.asarray(step),
+            },
+        )
+        self._best_ckpt.wait_until_finished()
+
+    def restore_best(self, params_target: Any, state_target: Any) -> tuple[Any, Any]:
+        path = os.path.join(self._best_dir, "export")
+        restored = self._best_ckpt.restore(
+            path,
+            target={
+                "params": params_target,
+                "model_state": state_target,
+                "metric": jax.numpy.zeros(()),
+                "step": jax.numpy.zeros((), jax.numpy.int32),
+            },
+        )
+        return restored["params"], restored["model_state"]
+
+    def close(self) -> None:
+        self._mgr.close()

@@ -1,0 +1,295 @@
+"""Training driver: jitted sharded train/eval steps + epoch loop.
+
+The TPU-native replacement for the reference's module-level script
+(src/train_fibinet.py): same training semantics — weighted BCE, Adam +
+OneCycle stepped per batch, global-norm clip 10, per-epoch AUC eval with
+best-checkpoint selection on the monitored metric (train_fibinet.py:103-152)
+— but structured as a class, jit-compiled over a device mesh (batch sharded
+on ``data``, tables optionally row-sharded on ``model``), with donated train
+state, on-device metrics, full-state resume, and step-time profiling.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ctr_recommendation_tpu.config.schema import ExperimentConfig
+from ctr_recommendation_tpu.features.feature_map import build_feature_map
+from ctr_recommendation_tpu.models.registry import get_model
+from ctr_recommendation_tpu.parallel.mesh import make_mesh
+from ctr_recommendation_tpu.parallel.sharding import param_specs
+from ctr_recommendation_tpu.training import metrics as metrics_lib
+from ctr_recommendation_tpu.training.checkpoint import CheckpointManager
+from ctr_recommendation_tpu.training.optim import make_optimizer
+from ctr_recommendation_tpu.training.train_state import TrainState
+
+
+def bce_with_logits(logits, labels, weight=None):
+    losses = optax.sigmoid_binary_cross_entropy(logits, labels.astype(jnp.float32))
+    if weight is None:
+        return jnp.mean(losses)
+    w = weight.astype(jnp.float32)
+    return jnp.sum(losses * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+class Trainer:
+    def __init__(
+        self,
+        experiment: ExperimentConfig,
+        *,
+        mesh=None,
+        total_steps: int | None = None,
+        steps_per_epoch: int | None = None,
+        checkpoint_dir: str | None = None,
+        lookup: Callable | None = None,
+        log_fn: Callable[[str], None] = print,
+    ):
+        self.exp = experiment
+        self.fm = build_feature_map(experiment.dataset)
+        self.module = get_model(experiment.model.model)
+        self.mesh = mesh if mesh is not None else make_mesh(experiment.mesh)
+        self.lookup = lookup
+        self.log = log_fn
+        self._compute_dtype = jnp.dtype(experiment.train.compute_dtype)
+
+        tc = experiment.train
+        if total_steps is None:
+            spe = steps_per_epoch or 1000
+            total_steps = spe * tc.epochs
+        self.total_steps = total_steps
+        self.tx, self.schedule = make_optimizer(tc, total_steps)
+
+        self.ckpt = CheckpointManager(
+            checkpoint_dir or tc.checkpoint_dir, max_to_keep=tc.keep_checkpoints
+        )
+
+        da, ma = experiment.mesh.data_axis, experiment.mesh.model_axis
+        self._batch_sharding = NamedSharding(self.mesh, P(da))
+        self._repl_sharding = NamedSharding(self.mesh, P())
+
+        # --- init params on device with the right shardings ---
+        key = jax.random.key(tc.seed)
+        with jax.default_device(jax.devices()[0]):
+            params, model_state = self.module.init(key, self.fm, experiment.model)
+        pspecs = param_specs(params, self.mesh, ma)
+        self._param_shardings = jax.tree.map(
+            lambda s: NamedSharding(self.mesh, s), pspecs,
+            is_leaf=lambda x: isinstance(x, P),
+        )
+        params = jax.device_put(params, self._param_shardings)
+        model_state = jax.device_put(model_state, self._repl_sharding)
+        self.state = TrainState.create(params, model_state, self.tx)
+        # Place the FULL train state on the mesh: params by their specs,
+        # optimizer moments like the params they mirror (so sharded tables
+        # get sharded Adam state), scalars/stats replicated. The same
+        # sharding tree re-places arrays after checkpoint restore (orbax
+        # hands back single-device arrays).
+        from ctr_recommendation_tpu.parallel.sharding import opt_state_specs
+
+        ospecs = opt_state_specs(self.state.opt_state, pspecs, params)
+        spec_state = TrainState(
+            step=P(),
+            params=pspecs,
+            model_state=jax.tree.map(lambda _: P(), model_state),
+            opt_state=ospecs,
+        )
+        self._state_shardings = jax.tree.map(
+            lambda s: NamedSharding(self.mesh, s),
+            spec_state,
+            is_leaf=lambda x: isinstance(x, P),
+        )
+        self.state = jax.device_put(self.state, self._state_shardings)
+
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+        self.history: list[dict[str, float]] = []
+        self._epoch = 0
+
+    # ------------------------------------------------------------------ steps
+    def _build_train_step(self):
+        module, fm, cfg = self.module, self.fm, self.exp.model
+        tx, compute_dtype, lookup = self.tx, self._compute_dtype, self.lookup
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_step(state: TrainState, batch: dict, rng: jax.Array):
+            weight = batch.get("__weight__")
+            labels = batch[fm.label]
+            feats = {
+                k: v for k, v in batch.items() if k not in (fm.label, "__weight__")
+            }
+            step_rng = jax.random.fold_in(rng, state.step)
+
+            def loss_fn(params):
+                logits, new_mstate = module.apply(
+                    params, state.model_state, fm, cfg, feats,
+                    train=True, rng=step_rng, compute_dtype=compute_dtype,
+                    lookup=lookup,
+                )
+                return bce_with_logits(logits, labels, weight), new_mstate
+
+            (loss, new_mstate), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(
+                step=state.step + 1,
+                params=new_params,
+                model_state=new_mstate,
+                opt_state=new_opt,
+            )
+            return new_state, {"loss": loss}
+
+        return train_step
+
+    def _build_eval_step(self):
+        module, fm, cfg = self.module, self.fm, self.exp.model
+        compute_dtype, lookup = self._compute_dtype, self.lookup
+
+        @jax.jit
+        def eval_step(params, model_state, batch: dict):
+            feats = {
+                k: v for k, v in batch.items() if k not in (fm.label, "__weight__")
+            }
+            logits, _ = module.apply(
+                params, model_state, fm, cfg, feats,
+                train=False, compute_dtype=compute_dtype, lookup=lookup,
+            )
+            return jax.nn.sigmoid(logits)
+
+        return eval_step
+
+    # ------------------------------------------------------------------ data
+    def put_batch(self, batch: dict[str, np.ndarray]) -> dict[str, jax.Array]:
+        return jax.device_put(batch, self._batch_sharding)
+
+    # ------------------------------------------------------------------ train
+    def fit(
+        self,
+        train_batches: Callable[[int], Iterator[dict]],
+        valid_batches: Callable[[], Iterator[dict]] | None = None,
+        *,
+        resume: bool = False,
+    ) -> list[dict[str, float]]:
+        """train_batches(epoch) -> iterator of numpy batch dicts."""
+        tc = self.exp.train
+        rng = jax.device_put(jax.random.key(tc.seed + 1), self._repl_sharding)
+        best = -np.inf if tc.monitor_mode == "max" else np.inf
+        start_epoch = 0
+
+        if resume:
+            latest = self.ckpt.latest_step()
+            if latest is not None:
+                restored = self.ckpt.restore(latest, self.state)
+                self.state = jax.device_put(restored, self._state_shardings)
+                start_epoch = int(latest)
+                self.log(f"[resume] epoch {start_epoch} step {int(self.state.step)}")
+
+        for epoch in range(start_epoch, tc.epochs):
+            self._epoch = epoch
+            t0 = time.time()
+            n_steps, loss_sum, rows = 0, 0.0, 0
+            for batch in train_batches(epoch):
+                bsz = len(next(iter(batch.values())))
+                self.state, m = self._train_step(self.state, self.put_batch(batch), rng)
+                n_steps += 1
+                rows += bsz
+                if n_steps % tc.log_every == 0:
+                    loss_v = float(m["loss"])
+                    lr = float(self.schedule(int(self.state.step) - 1))
+                    self.log(
+                        f"[epoch {epoch + 1}] step {n_steps} loss {loss_v:.4f} lr {lr:.6f}"
+                    )
+                loss_sum += float(m["loss"])
+            dt = time.time() - t0
+            train_loss = loss_sum / max(n_steps, 1)
+            entry: dict[str, float] = {
+                "epoch": epoch + 1,
+                "train_loss": train_loss,
+                "examples_per_sec": rows / dt if dt > 0 else 0.0,
+                "seconds": dt,
+            }
+
+            if valid_batches is not None:
+                entry.update(self.evaluate(valid_batches()))
+                metric = entry[tc.monitor]
+                improved = (
+                    metric > best if tc.monitor_mode == "max" else metric < best
+                )
+                if improved:
+                    best = metric
+                    self.ckpt.save_best(
+                        self.state.params, self.state.model_state, metric,
+                        int(self.state.step),
+                    )
+                    self.log(
+                        f"[epoch {epoch + 1}] new best {tc.monitor}={metric:.4f} — exported"
+                    )
+            if not tc.save_best_only or valid_batches is None:
+                self.ckpt.save(epoch + 1, self.state)
+            else:
+                # still keep a resume point every epoch (cheap; pruned by
+                # max_to_keep) — this is the preemption-recovery gap the
+                # reference has (SURVEY §5.3).
+                self.ckpt.save(epoch + 1, self.state)
+            self.log(
+                f"[epoch {epoch + 1}] loss {train_loss:.4f} "
+                + " ".join(
+                    f"{k} {v:.4f}" for k, v in entry.items()
+                    if k in ("auc", "logloss")
+                )
+                + f" ({rows}/{dt:.1f}s = {entry['examples_per_sec']:.0f} ex/s)"
+            )
+            self.history.append(entry)
+        self.log(f"Done. Best {tc.monitor}: {best:.4f}")
+        return self.history
+
+    # ------------------------------------------------------------------ eval
+    def evaluate(self, batches: Iterator[dict]) -> dict[str, float]:
+        probs_l, labels_l, w_l = [], [], []
+        for batch in batches:
+            b = self.put_batch(batch)
+            probs = self._eval_step(self.state.params, self.state.model_state, b)
+            probs_l.append(probs)
+            labels_l.append(b[self.fm.label])
+            w_l.append(b.get("__weight__", jnp.ones_like(probs)))
+        probs = jnp.concatenate(probs_l)
+        labels = jnp.concatenate(labels_l)
+        weight = jnp.concatenate(w_l)
+        nbins = self.exp.train.num_eval_threshold_bins
+        if nbins:
+            hp = jnp.zeros((nbins,))
+            hn = jnp.zeros((nbins,))
+            hp, hn = metrics_lib.binned_auc_update(
+                hp, hn, labels, probs, weight, num_bins=nbins
+            )
+            auc_v = metrics_lib.binned_auc_finalize(hp, hn)
+        else:
+            auc_v = metrics_lib.auc(labels, probs, weight)
+        ll = metrics_lib.logloss(labels, probs, weight)
+        return {"auc": float(auc_v), "logloss": float(ll)}
+
+    # ------------------------------------------------------------------ infer
+    def predict(self, batches: Iterator[dict]) -> np.ndarray:
+        out = []
+        for batch in batches:
+            b = self.put_batch(batch)
+            probs = self._eval_step(self.state.params, self.state.model_state, b)
+            w = np.asarray(batch.get("__weight__", np.ones(len(probs))))
+            p = np.asarray(probs)
+            out.append(p[w > 0])
+        return np.concatenate(out)
+
+    def load_best(self) -> None:
+        params, mstate = self.ckpt.restore_best(
+            self.state.params, self.state.model_state
+        )
+        self.state = self.state._replace(params=params, model_state=mstate)

@@ -1,0 +1,95 @@
+"""Distributed paths on the 8-fake-CPU-device mesh: row-sharded lookup
+parity + gradients, data-parallel train step, 2x4 data x model training."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ctr_recommendation_tpu.config.schema import MeshConfig
+from ctr_recommendation_tpu.parallel.embedding import (
+    make_sharded_lookup,
+    round_up_vocab,
+    sharded_lookup,
+)
+from ctr_recommendation_tpu.parallel.mesh import make_mesh
+
+
+def _mesh(dp, mp):
+    return make_mesh(MeshConfig(data_parallel=dp, model_parallel=mp))
+
+
+@pytest.mark.parametrize("dp,mp", [(8, 1), (4, 2), (2, 4), (1, 8)])
+@pytest.mark.parametrize("seq", [False, True])
+def test_sharded_lookup_matches_plain_gather(dp, mp, seq):
+    mesh = _mesh(dp, mp)
+    v, e = round_up_vocab(200), 16
+    key = jax.random.key(0)
+    table = jax.random.normal(key, (v, e))
+    shape = (64, 5) if seq else (64,)
+    ids = jax.random.randint(jax.random.key(1), shape, 0, 200)
+
+    table_s = jax.device_put(table, NamedSharding(mesh, P("model", None)))
+    ids_s = jax.device_put(ids, NamedSharding(mesh, P("data", *([None] * (ids.ndim - 1)))))
+    got = sharded_lookup(table_s, ids_s, mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(table[ids]), rtol=1e-6)
+
+
+def test_sharded_lookup_grad_is_scatter_add():
+    mesh = _mesh(2, 4)
+    v, e = round_up_vocab(100), 8
+    table = jax.random.normal(jax.random.key(0), (v, e))
+    ids = jnp.asarray([3, 3, 7, 99])  # repeated id accumulates
+    table_s = jax.device_put(table, NamedSharding(mesh, P("model", None)))
+    ids_s = jax.device_put(ids, NamedSharding(mesh, P("data")))
+
+    def loss_sharded(t):
+        return jnp.sum(sharded_lookup(t, ids_s, mesh) * 2.0)
+
+    def loss_plain(t):
+        return jnp.sum(t[ids] * 2.0)
+
+    g_got = jax.grad(loss_sharded)(table_s)
+    g_want = jax.grad(loss_plain)(table)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want), rtol=1e-6)
+    # the repeated id must have accumulated 2x
+    assert np.allclose(np.asarray(g_got)[3], 4.0)
+
+
+@pytest.mark.parametrize("dp,mp", [(8, 1), (2, 4)])
+def test_distributed_training_step_runs_and_learns(dp, mp, tiny_experiment, tiny_feature_map):
+    """Full train step jitted over the mesh with the sharded lookup injected."""
+    from ctr_recommendation_tpu.training import Trainer
+    from tests.conftest import make_batch
+
+    mesh = _mesh(dp, mp)
+    exp = tiny_experiment.replace(
+        mesh=MeshConfig(data_parallel=dp, model_parallel=mp),
+        train=dataclasses.replace(
+            tiny_experiment.train, checkpoint_dir="/tmp/ctr_test_dist_ckpt"
+        ),
+    )
+    lookup = make_sharded_lookup(mesh) if mp > 1 else None
+    trainer = Trainer(
+        exp, mesh=mesh, steps_per_epoch=4, lookup=lookup, log_fn=lambda s: None
+    )
+    # tables must actually be sharded over the model axis when mp > 1
+    table = trainer.state.params["trunk"]["tables"]["item_id"]
+    if mp > 1:
+        assert table.sharding.spec == P("model", None)
+
+    rng = np.random.default_rng(0)
+    losses = []
+    for i in range(6):
+        batch = make_batch(rng, 64)
+        batch["label"] = (rng.random(64) < 0.5).astype(np.float32)
+        batch["__weight__"] = np.ones(64, np.float32)
+        trainer.state, m = trainer._train_step(
+            trainer.state, trainer.put_batch(batch), jax.random.key(0)
+        )
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert int(trainer.state.step) == 6
