@@ -54,13 +54,40 @@ class Predictor:
         fm, cfg = self.fm, experiment.model
         compute_dtype = jnp.dtype(experiment.train.compute_dtype)
 
-        @jax.jit
-        def score(params, model_state, batch):
-            logits, _ = self.module.apply(
-                params, model_state, fm, cfg, batch,
-                train=False, compute_dtype=compute_dtype,
-            )
-            return jax.nn.sigmoid(logits)
+        use_fused = (
+            cfg.use_pallas
+            and self._fold_bn
+            and cfg.model in ("fibinet", "mm_fibinet", "sasrec_fibinet")
+            and len(cfg.hidden_units) == 2
+            and "mlp" in self.params
+        )
+        if use_fused:
+            from ctr_recommendation_tpu.models import trunk as trunk_mod
+            from ctr_recommendation_tpu.ops.pallas.scoring import fused_score
+
+            seq_pooling = self.module.SEQ_POOLING
+
+            @jax.jit
+            def score(params, model_state, batch):
+                x = trunk_mod.apply(
+                    params["trunk"], fm, cfg, batch,
+                    seq_pooling=seq_pooling, train=False,
+                    compute_dtype=jnp.float32,
+                )
+                return fused_score(
+                    params["senet"], params["bilinear"], params["mlp"], x,
+                    bilinear_type=cfg.bilinear_type,
+                )
+
+        else:
+
+            @jax.jit
+            def score(params, model_state, batch):
+                logits, _ = self.module.apply(
+                    params, model_state, fm, cfg, batch,
+                    train=False, compute_dtype=compute_dtype,
+                )
+                return jax.nn.sigmoid(logits)
 
         self._score = score
 

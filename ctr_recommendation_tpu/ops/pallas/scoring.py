@@ -1,0 +1,148 @@
+"""Fused batched-scoring Pallas kernel: interaction + tower in one HBM pass.
+
+The serving hot path for the FiBiNET family (BASELINE.json: "batched scoring
+p50 latency"). Per batch tile, entirely in VMEM:
+
+    SENet -> bilinear -> concat (TB, (F+P)E)
+    -> ReLU(c @ W1 + b1) -> ReLU(h1 @ W2 + b2) -> sigmoid(h2 @ w3 + b3)
+
+The tower must be BatchNorm-folded first (ops/mlp.fold_batch_norm) so each
+layer is a plain affine — inference-exact (eval-mode BN is affine). Unfused,
+XLA writes the 2688-wide concat + both hidden activations to HBM; fused, HBM
+sees one read of X (B,F,E) and one write of probs (B,1). Weight blocks use a
+constant index map so Mosaic keeps them VMEM-resident across the grid.
+
+VMEM budget @ TB=256, E=128, F=6 (fp32): X 0.75 MB + W1 5.25 MB + concat
+2.63 MB + hiddens 0.75 MB + W_bi/W2 ~0.6 MB ≈ 10 MB < 16 MB.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ctr_recommendation_tpu.ops.bilinear import pair_indices
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _kernel(
+    x_ref, sw1_ref, sb1_ref, sw2_ref, sb2_ref, wbi_ref,
+    w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+    out_ref, concat_ref, *, num_fields, bilinear_type,
+):
+    x = x_ref[:].astype(jnp.float32)  # (TB, F, E)
+    tb, f, e = x.shape
+    # --- SENet ---
+    z = jnp.mean(x, axis=-1)
+    a = jnp.maximum(jnp.dot(z, sw1_ref[:], preferred_element_type=jnp.float32) + sb1_ref[:], 0.0)
+    w = jax.nn.sigmoid(jnp.dot(a, sw2_ref[:], preferred_element_type=jnp.float32) + sb2_ref[:])
+    s = x * w[..., None]
+    # --- bilinear + concat into VMEM scratch ---
+    i_idx, j_idx = pair_indices(num_fields)
+    for fi in range(num_fields):
+        concat_ref[:, fi * e : (fi + 1) * e] = s[:, fi, :]
+    base = num_fields * e
+    if bilinear_type == "all":
+        v = jnp.dot(
+            s.reshape(tb * num_fields, e), wbi_ref[:], preferred_element_type=jnp.float32
+        ).reshape(tb, num_fields, e)
+        for k, (i, j) in enumerate(zip(i_idx, j_idx)):
+            concat_ref[:, base + k * e : base + (k + 1) * e] = (
+                s[:, int(i), :] * v[:, int(j), :]
+            )
+    else:
+        vs = [
+            jnp.dot(s[:, fi, :], wbi_ref[fi], preferred_element_type=jnp.float32)
+            for fi in range(num_fields - 1)
+        ]
+        for k, (i, j) in enumerate(zip(i_idx, j_idx)):
+            concat_ref[:, base + k * e : base + (k + 1) * e] = vs[int(i)] * s[:, int(j), :]
+    # --- folded tower ---
+    c = concat_ref[:]
+    h1 = jnp.maximum(jnp.dot(c, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:], 0.0)
+    h2 = jnp.maximum(jnp.dot(h1, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:], 0.0)
+    logit = jnp.dot(h2, w3_ref[:], preferred_element_type=jnp.float32) + b3_ref[:]
+    out_ref[:] = jax.nn.sigmoid(logit)
+
+
+def fused_score(
+    senet_params: dict,
+    bilinear_params: dict,
+    folded_mlp: dict,
+    x: jax.Array,
+    *,
+    bilinear_type: str = "all",
+    block_b: int = 256,
+) -> jax.Array:
+    """x (B, F, E) -> click probabilities (B,). folded_mlp comes from
+    ops.mlp.fold_batch_norm and must have exactly 2 hidden layers (the
+    reference tower, model_fibinet.py:125-135)."""
+    if len(folded_mlp["layers"]) != 2:
+        raise ValueError("fused_score expects a 2-hidden-layer tower")
+    b, f, e = x.shape
+    num_pairs = f * (f - 1) // 2
+    cdim = (f + num_pairs) * e
+
+    block_b = min(block_b, max(8, 1 << (b - 1).bit_length()))
+    pad_b = (-b) % block_b
+    if pad_b:
+        x = jnp.pad(x, ((0, pad_b), (0, 0), (0, 0)))
+    padded_b = b + pad_b
+
+    fc1, fc2 = senet_params["fc1"], senet_params["fc2"]
+    reduced = fc1["w"].shape[1]
+    sb1 = fc1.get("b", jnp.zeros((reduced,)))
+    sb2 = fc2.get("b", jnp.zeros((f,)))
+    wbi = bilinear_params["w"] if bilinear_type == "all" else bilinear_params["w_each"]
+    l1 = folded_mlp["layers"][0]["linear"]
+    l2 = folded_mlp["layers"][1]["linear"]
+    l3 = folded_mlp["out"]
+    h1_dim, h2_dim = l1["w"].shape[1], l2["w"].shape[1]
+
+    def const_spec(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, num_fields=f, bilinear_type=bilinear_type),
+        out_shape=jax.ShapeDtypeStruct((padded_b, 1), jnp.float32),
+        grid=(padded_b // block_b,),
+        in_specs=[
+            pl.BlockSpec((block_b, f, e), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            const_spec(fc1["w"].shape),
+            const_spec(sb1.shape),
+            const_spec(fc2["w"].shape),
+            const_spec(sb2.shape),
+            const_spec(wbi.shape),
+            const_spec(l1["w"].shape),
+            const_spec(l1["b"].shape),
+            const_spec(l2["w"].shape),
+            const_spec(l2["b"].shape),
+            const_spec(l3["w"].shape),
+            const_spec(l3["b"].shape),
+        ],
+        out_specs=pl.BlockSpec((block_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((block_b, cdim), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * padded_b * (f * e * e + cdim * h1_dim + h1_dim * h2_dim + h2_dim),
+            bytes_accessed=4 * (padded_b * f * e + cdim * h1_dim + padded_b),
+            transcendentals=2 * padded_b,
+        ),
+        interpret=_interpret(),
+    )(
+        x.astype(jnp.float32),
+        fc1["w"].astype(jnp.float32), sb1.astype(jnp.float32),
+        fc2["w"].astype(jnp.float32), sb2.astype(jnp.float32),
+        wbi.astype(jnp.float32),
+        l1["w"].astype(jnp.float32), l1["b"].astype(jnp.float32),
+        l2["w"].astype(jnp.float32), l2["b"].astype(jnp.float32),
+        l3["w"].astype(jnp.float32), l3["b"].astype(jnp.float32),
+    )
+    return out[:b, 0]
