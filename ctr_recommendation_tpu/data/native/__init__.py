@@ -1,0 +1,109 @@
+"""ctypes binding for the native host-pipeline kernels (pad_seq.cc).
+
+Compiled lazily with g++ on first use and cached next to the source; every
+entry point has a pure-numpy fallback so the framework works without a
+toolchain. ``available()`` reports whether the native path is active.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "pad_seq.cc")
+_LIB_PATH = os.path.join(_HERE, "_pad_seq.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> str | None:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB_PATH, _SRC],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return _LIB_PATH
+    except Exception:
+        return None
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        path = _LIB_PATH if os.path.exists(_LIB_PATH) else _build()
+        if path is None:
+            return None
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:
+            return None
+        lib.pad_sequences_i64.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.gather_rows_i32.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.gather_rows_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def pad_sequences_from_offsets(
+    values: np.ndarray, offsets: np.ndarray, max_len: int, pad_id: int = 0
+) -> np.ndarray:
+    """(arrow list buffers) -> (n_rows, max_len) int32, keeping the LAST
+    max_len entries, left-padded."""
+    values = np.ascontiguousarray(values, dtype=np.int64)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    n_rows = len(offsets) - 1
+    out = np.empty((n_rows, max_len), dtype=np.int32)
+    lib = _load()
+    if lib is not None:
+        lib.pad_sequences_i64(
+            values.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n_rows,
+            max_len,
+            pad_id,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return out
+    # numpy fallback
+    out.fill(pad_id)
+    for r in range(n_rows):
+        s = values[offsets[r] : offsets[r + 1]]
+        if s.size > max_len:
+            s = s[-max_len:]
+        if s.size:
+            out[r, max_len - s.size :] = s
+    return out

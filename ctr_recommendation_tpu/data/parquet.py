@@ -62,6 +62,25 @@ def _pad_sequences(seqs, max_len: int, pad_id: int) -> np.ndarray:
     return out
 
 
+def _pad_list_column(col, max_len: int, pad_id: int) -> np.ndarray:
+    """Pad a pyarrow list column via the native C++ kernel when possible
+    (data/native/pad_seq.cc — operates on the raw arrow values/offsets
+    buffers), else the Python row loop."""
+    import pyarrow as pa
+
+    from ctr_recommendation_tpu.data import native
+
+    try:
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if isinstance(arr, (pa.ListArray, pa.LargeListArray)) and arr.null_count == 0:
+            offsets = np.asarray(arr.offsets, dtype=np.int64)
+            values = np.asarray(arr.values, dtype=np.int64)
+            return native.pad_sequences_from_offsets(values, offsets, max_len, pad_id)
+    except Exception:
+        pass
+    return _pad_sequences(col.to_pylist(), max_len, pad_id)
+
+
 def load_split(
     path: str,
     feature_map: FeatureMap,
@@ -91,7 +110,7 @@ def load_split(
         col = table.column(name)
         spec = spec_by_name.get(name)
         if spec is not None and spec.type == FeatureType.SEQUENCE:
-            cols[name] = _pad_sequences(col.to_pylist(), spec.max_len, spec.pad_id)
+            cols[name] = _pad_list_column(col, spec.max_len, spec.pad_id)
         elif name == feature_map.label:
             cols[name] = col.to_numpy(zero_copy_only=False).astype(np.float32)
         else:

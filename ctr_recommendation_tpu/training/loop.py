@@ -193,13 +193,16 @@ class Trainer:
                 start_epoch = int(latest)
                 self.log(f"[resume] epoch {start_epoch} step {int(self.state.step)}")
 
+        from ctr_recommendation_tpu.data.prefetch import prefetch
+
         for epoch in range(start_epoch, tc.epochs):
             self._epoch = epoch
             t0 = time.time()
             n_steps, loss_sum, rows = 0, 0.0, 0
-            for batch in train_batches(epoch):
+            batches = prefetch(iter(train_batches(epoch)), transform=self.put_batch)
+            for batch in batches:
                 bsz = len(next(iter(batch.values())))
-                self.state, m = self._train_step(self.state, self.put_batch(batch), rng)
+                self.state, m = self._train_step(self.state, batch, rng)
                 n_steps += 1
                 rows += bsz
                 if n_steps % tc.log_every == 0:
@@ -249,8 +252,27 @@ class Trainer:
                 + f" ({rows}/{dt:.1f}s = {entry['examples_per_sec']:.0f} ex/s)"
             )
             self.history.append(entry)
+            self._write_history_csv()
         self.log(f"Done. Best {tc.monitor}: {best:.4f}")
         return self.history
+
+    def _write_history_csv(self) -> None:
+        """Structured metric log (SURVEY §5.5: the reference only prints;
+        its declared logs_root is dead). One CSV row per epoch."""
+        import csv
+        import os
+
+        path = os.path.join(self.exp.train.checkpoint_dir, "metrics.csv")
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        keys: list[str] = []
+        for h in self.history:
+            for k in h:
+                if k not in keys:
+                    keys.append(k)
+        with open(path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=keys)
+            w.writeheader()
+            w.writerows(self.history)
 
     # ------------------------------------------------------------------ eval
     def evaluate(self, batches: Iterator[dict]) -> dict[str, float]:
