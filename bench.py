@@ -23,6 +23,10 @@ BASELINE_INFER_ROWS_PER_SEC = 163_000.0
 def main() -> None:
     import dataclasses
 
+    from ctr_recommendation_tpu.utils import compilation_cache
+
+    compilation_cache.enable()
+
     from ctr_recommendation_tpu.config import microlens_experiment
     from ctr_recommendation_tpu.features import build_feature_map
     from ctr_recommendation_tpu.models import build_model

@@ -21,6 +21,10 @@ def main(argv=None) -> int:
     p.add_argument("--embedding-dim", type=int, default=None)
     args = p.parse_args(argv)
 
+    from ctr_recommendation_tpu.utils import compilation_cache
+
+    compilation_cache.enable()
+
     from ctr_recommendation_tpu.config import microlens_experiment
     from ctr_recommendation_tpu.data import ItemStore, iter_batches, load_split
     from ctr_recommendation_tpu.features import build_feature_map
@@ -39,9 +43,11 @@ def main(argv=None) -> int:
 
     trainer = Trainer(exp, steps_per_epoch=1, log_fn=print)
     trainer.load_best()
-    pred = Predictor(exp, trainer.state.params, trainer.state.model_state)
+    pred = Predictor(
+        exp, trainer.state.params, trainer.state.model_state, item_store=store
+    )
 
-    batches = iter_batches(test, fm, args.batch_size, item_store=store)
+    batches = iter_batches(test, fm, args.batch_size)
     probs = pred.predict_all(batches)
     csv_path, zip_path = write_submission(probs, args.out_dir)
     print(f"[out] {csv_path}\n[out] {zip_path}")

@@ -45,6 +45,10 @@ def build_argparser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
 
+    from ctr_recommendation_tpu.utils import compilation_cache
+
+    compilation_cache.enable()
+
     from ctr_recommendation_tpu.config import load_experiment, microlens_experiment
     from ctr_recommendation_tpu.config.schema import MeshConfig
 
@@ -119,17 +123,24 @@ def run_training(exp, *, resume: bool = False, strict_items: bool = False) -> in
     lookup = make_sharded_lookup(mesh) if exp.mesh.model_parallel > 1 else None
     bs = exp.train.batch_size
     spe = max(train.num_rows // bs, 1)
-    trainer = Trainer(exp, mesh=mesh, steps_per_epoch=spe, lookup=lookup)
+    # Default: item join happens ON DEVICE inside the jitted step (batches
+    # carry only ids). strict mode needs the host-side check, so it keeps
+    # the host join (reference training semantics, dataloader.py:104-106).
+    host_store = store if strict_items else None
+    trainer = Trainer(
+        exp, mesh=mesh, steps_per_epoch=spe, lookup=lookup,
+        item_store=None if strict_items else store,
+    )
 
     def train_batches(epoch):
         return iter_batches(
             train, fm, bs, shuffle=exp.train.shuffle, seed=exp.train.seed,
-            epoch=epoch, item_store=store, drop_last=True,
+            epoch=epoch, item_store=host_store, drop_last=True,
             strict_items=strict_items,
         )
 
     def valid_batches():
-        return iter_batches(valid, fm, exp.train.eval_batch_size, item_store=store)
+        return iter_batches(valid, fm, exp.train.eval_batch_size, item_store=host_store)
 
     trainer.fit(train_batches, valid_batches, resume=resume)
     return 0

@@ -34,6 +34,7 @@ class Predictor:
         model_state: dict,
         *,
         fold_bn: bool = True,
+        item_store=None,
     ):
         self.exp = experiment
         self.fm = build_feature_map(experiment.dataset)
@@ -54,6 +55,30 @@ class Predictor:
         fm, cfg = self.fm, experiment.model
         compute_dtype = jnp.dtype(experiment.train.compute_dtype)
 
+        # device-resident item join (see data/device_store.py)
+        from ctr_recommendation_tpu.data.device_store import (
+            DeviceItemStore,
+            dense_join_plan,
+        )
+
+        self._join_plan = dense_join_plan(fm)
+        self._mm_tables: dict[str, jax.Array] = {}
+        if item_store is not None:
+            for dense_name, _ in self._join_plan:
+                self._mm_tables[dense_name] = DeviceItemStore.from_host(item_store).emb
+
+        def device_join(feats, mm_tables):
+            for dense_name, id_key in self._join_plan:
+                if dense_name in feats or dense_name not in mm_tables:
+                    continue
+                emb = mm_tables[dense_name]
+                ids = feats[id_key].astype(jnp.int32)
+                v = emb.shape[0]
+                rows = emb[jnp.clip(ids, 0, v - 1)]
+                oob = (ids < 0) | (ids >= v)
+                feats[dense_name] = jnp.where(oob[..., None], 0.0, rows)
+            return feats
+
         use_fused = (
             cfg.use_pallas
             and self._fold_bn
@@ -68,7 +93,8 @@ class Predictor:
             seq_pooling = self.module.SEQ_POOLING
 
             @jax.jit
-            def score(params, model_state, batch):
+            def score(params, model_state, mm_tables, batch):
+                batch = device_join(dict(batch), mm_tables)
                 x = trunk_mod.apply(
                     params["trunk"], fm, cfg, batch,
                     seq_pooling=seq_pooling, train=False,
@@ -82,7 +108,8 @@ class Predictor:
         else:
 
             @jax.jit
-            def score(params, model_state, batch):
+            def score(params, model_state, mm_tables, batch):
+                batch = device_join(dict(batch), mm_tables)
                 logits, _ = self.module.apply(
                     params, model_state, fm, cfg, batch,
                     train=False, compute_dtype=compute_dtype,
@@ -97,7 +124,7 @@ class Predictor:
             for k, v in batch.items()
             if k not in (self.fm.label, "__weight__")
         }
-        return self._score(self.params, self.model_state, feats)
+        return self._score(self.params, self.model_state, self._mm_tables, feats)
 
     def predict_all(self, batches: Iterator[dict]) -> np.ndarray:
         out = []

@@ -1,0 +1,62 @@
+"""Multi-host runtime glue.
+
+The reference's only scaling story is single-process DataParallel
+(train_fibinet.py:69-70). The TPU-native story (SURVEY §5.8): every host runs
+this same program; ``initialize()`` wires the JAX distributed runtime; the
+mesh spans all hosts' devices; each host loads a disjoint shard of the split
+(``TableData.shard``); and ``host_local_to_global`` assembles per-host numpy
+batches into one global device array sharded over the ``data`` axis, so the
+jitted train step is identical single-host and multi-host.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """Idempotent jax.distributed.initialize (no-op when single-process
+    without coordinator env/flags)."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    if coordinator_address is None and num_processes is None:
+        # single host, nothing to do
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def host_id() -> int:
+    return jax.process_index()
+
+
+def host_count() -> int:
+    return jax.process_count()
+
+
+def host_local_to_global(
+    batch: dict[str, np.ndarray], mesh: Mesh, data_axis: str = "data"
+) -> dict[str, jax.Array]:
+    """Per-host numpy batch (local rows) -> global arrays sharded P(data).
+
+    Single-process: plain device_put. Multi-process: each host contributes
+    its local rows; the logical global batch is the concatenation over hosts
+    (jax.make_array_from_process_local_data handles placement).
+    """
+    sharding_of = {
+        k: NamedSharding(mesh, P(data_axis, *([None] * (v.ndim - 1))))
+        for k, v in batch.items()
+    }
+    if jax.process_count() == 1:
+        return {k: jax.device_put(v, sharding_of[k]) for k, v in batch.items()}
+    return {
+        k: jax.make_array_from_process_local_data(sharding_of[k], v)
+        for k, v in batch.items()
+    }

@@ -50,6 +50,7 @@ class Trainer:
         steps_per_epoch: int | None = None,
         checkpoint_dir: str | None = None,
         lookup: Callable | None = None,
+        item_store=None,
         log_fn: Callable[[str], None] = print,
     ):
         self.exp = experiment
@@ -74,6 +75,22 @@ class Trainer:
         da, ma = experiment.mesh.data_axis, experiment.mesh.model_axis
         self._batch_sharding = NamedSharding(self.mesh, P(da))
         self._repl_sharding = NamedSharding(self.mesh, P())
+
+        # Device-resident item join: upload the item_info dense matrix once;
+        # the per-batch join is a gather inside the jitted step (batches then
+        # carry only ids — see data/device_store.py).
+        from ctr_recommendation_tpu.data.device_store import (
+            DeviceItemStore,
+            dense_join_plan,
+        )
+
+        self._join_plan = dense_join_plan(self.fm)
+        self._mm_tables: dict[str, jax.Array] = {}
+        if item_store is not None:
+            for dense_name, _ in self._join_plan:
+                self._mm_tables[dense_name] = DeviceItemStore.from_host(
+                    item_store, self._repl_sharding
+                ).emb
 
         # --- init params on device with the right shardings ---
         key = jax.random.key(tc.seed)
@@ -108,23 +125,44 @@ class Trainer:
         )
         self.state = jax.device_put(self.state, self._state_shardings)
 
-        self._train_step = self._build_train_step()
-        self._eval_step = self._build_eval_step()
+        self._train_step_fn = self._build_train_step()
+        self._eval_step_fn = self._build_eval_step()
         self.history: list[dict[str, float]] = []
         self._epoch = 0
 
     # ------------------------------------------------------------------ steps
+    def _device_join(self, feats: dict, mm_tables: dict) -> dict:
+        """In-jit item join: dense features gathered from the device-resident
+        item matrix by id, zeros for out-of-range ids (tolerant semantics)."""
+        for dense_name, id_key in self._join_plan:
+            if dense_name in feats or dense_name not in mm_tables:
+                continue
+            emb = mm_tables[dense_name]
+            ids = feats[id_key].astype(jnp.int32)
+            v = emb.shape[0]
+            rows = emb[jnp.clip(ids, 0, v - 1)]
+            oob = (ids < 0) | (ids >= v)
+            feats[dense_name] = jnp.where(oob[..., None], 0.0, rows)
+        return feats
+
+    def _train_step(self, state, batch, rng):
+        return self._train_step_fn(state, batch, self._mm_tables, rng)
+
+    def _eval_step(self, params, model_state, batch):
+        return self._eval_step_fn(params, model_state, self._mm_tables, batch)
+
     def _build_train_step(self):
         module, fm, cfg = self.module, self.fm, self.exp.model
         tx, compute_dtype, lookup = self.tx, self._compute_dtype, self.lookup
 
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def train_step(state: TrainState, batch: dict, rng: jax.Array):
+        def train_step(state: TrainState, batch: dict, mm_tables: dict, rng: jax.Array):
             weight = batch.get("__weight__")
             labels = batch[fm.label]
             feats = {
                 k: v for k, v in batch.items() if k not in (fm.label, "__weight__")
             }
+            feats = self._device_join(feats, mm_tables)
             step_rng = jax.random.fold_in(rng, state.step)
 
             def loss_fn(params):
@@ -155,10 +193,11 @@ class Trainer:
         compute_dtype, lookup = self._compute_dtype, self.lookup
 
         @jax.jit
-        def eval_step(params, model_state, batch: dict):
+        def eval_step(params, model_state, mm_tables: dict, batch: dict):
             feats = {
                 k: v for k, v in batch.items() if k not in (fm.label, "__weight__")
             }
+            feats = self._device_join(feats, mm_tables)
             logits, _ = module.apply(
                 params, model_state, fm, cfg, feats,
                 train=False, compute_dtype=compute_dtype, lookup=lookup,
