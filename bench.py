@@ -66,28 +66,39 @@ def main() -> None:
     infer_rows_per_sec = n_iters * eval_bs / dt
     p50_ms = float(np.percentile(lat, 50) * 1e3)
 
-    # --- train-step throughput ---
+    # --- e2e train throughput: on-device epoch scan over distinct batches ---
     train_bs = 4096
+    n_steps = 40
+    n_rows = train_bs * n_steps
     trainer = Trainer(
         exp.replace(
             train=dataclasses.replace(
                 exp.train, batch_size=train_bs, checkpoint_dir="/tmp/bench_ckpt"
             )
         ),
-        steps_per_epoch=100,
+        steps_per_epoch=n_steps,
         log_fn=lambda s: None,
     )
-    tb = _fake_batch(rng, train_bs, 91718, 20, 128)
-    tb = trainer.put_batch(tb)
+    raw = _fake_batch(rng, n_rows, 91718, 20, 128)
+
+    class _Split:
+        columns = raw
+        num_rows = n_rows
+
+    data = trainer._upload_split(_Split())
+    epoch_fn = trainer._build_train_epoch(n_steps, train_bs)
     key = jax.random.key(0)
-    trainer.state, _ = trainer._train_step(trainer.state, tb, key)  # compile
-    jax.block_until_ready(trainer.state.params)
-    n_train = 20
+    perm = jax.random.permutation(jax.random.key(1), n_rows)
+    trainer.state, losses = epoch_fn(
+        trainer.state, data, perm, trainer._mm_tables, key
+    )  # compile
+    jax.block_until_ready(losses)
     t0 = time.perf_counter()
-    for _ in range(n_train):
-        trainer.state, m = trainer._train_step(trainer.state, tb, key)
-    jax.block_until_ready(trainer.state.params)
-    train_rows_per_sec = n_train * train_bs / (time.perf_counter() - t0)
+    trainer.state, losses = epoch_fn(
+        trainer.state, data, perm, trainer._mm_tables, key
+    )
+    jax.block_until_ready(losses)
+    train_rows_per_sec = n_rows / (time.perf_counter() - t0)
 
     print(
         json.dumps(

@@ -1,0 +1,119 @@
+"""Microbenchmarks: Pallas kernels vs their XLA-fused jnp equivalents.
+
+Prints one JSON line per comparison. Run on TPU; informs which path the
+trunk/predictor should select per shape.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ctr_recommendation_tpu.utils import compilation_cache
+
+
+def timeit(fn, *args, iters=30, warmup=3):
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    times = []
+    for _ in range(iters):
+        t = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        times.append(time.perf_counter() - t)
+    return float(np.median(times))
+
+
+def main() -> None:
+    compilation_cache.enable()
+    from ctr_recommendation_tpu.ops import bilinear, interaction, mlp, senet
+    from ctr_recommendation_tpu.ops.pallas.embedding_gather import gather_rows
+    from ctr_recommendation_tpu.ops.pallas.interaction import (
+        fused_senet_bilinear_concat,
+    )
+    from ctr_recommendation_tpu.ops.pallas.scoring import fused_score
+
+    results = []
+
+    # ---- embedding gather: pallas pipelined DMA vs XLA gather ----
+    v, e, b = 91718, 128, 4096
+    table = jax.random.normal(jax.random.key(0), (v, e))
+    ids = jax.random.randint(jax.random.key(1), (b,), 0, v)
+    xla_take = jax.jit(lambda t, i: t[i])
+    pls_take = jax.jit(gather_rows)
+    t_xla = timeit(xla_take, table, ids)
+    t_pls = timeit(pls_take, table, ids)
+    results.append(
+        {
+            "bench": "embedding_gather",
+            "shape": f"({b},) from ({v},{e})",
+            "xla_us": round(t_xla * 1e6, 1),
+            "pallas_us": round(t_pls * 1e6, 1),
+            "speedup": round(t_xla / t_pls, 3),
+        }
+    )
+
+    # ---- fused interaction vs jnp reference ----
+    f = 6
+    sp = senet.init(jax.random.key(2), f, 2)
+    bp = bilinear.init(jax.random.key(3), e, f, "all")
+    x = jax.random.normal(jax.random.key(4), (b, f, e))
+    jnp_fn = jax.jit(
+        lambda s_, b_, x_: interaction.senet_bilinear_concat_reference(
+            s_, b_, x_, bilinear_type="all"
+        )
+    )
+    pls_fn = jax.jit(
+        lambda s_, b_, x_: fused_senet_bilinear_concat(s_, b_, x_, bilinear_type="all")
+    )
+    t_jnp = timeit(jnp_fn, sp, bp, x)
+    t_pls = timeit(pls_fn, sp, bp, x)
+    results.append(
+        {
+            "bench": "senet_bilinear_concat",
+            "shape": f"({b},{f},{e})",
+            "xla_us": round(t_jnp * 1e6, 1),
+            "pallas_us": round(t_pls * 1e6, 1),
+            "speedup": round(t_jnp / t_pls, 3),
+        }
+    )
+
+    # ---- fused scoring vs unfused (interaction + folded tower) ----
+    cdim = (f + f * (f - 1) // 2) * e
+    mp_params, mp_state = mlp.init(jax.random.key(5), cdim, [512, 256], batch_norm=True)
+    h = interaction.senet_bilinear_concat_reference(sp, bp, x, bilinear_type="all")
+    _, mp_state = mlp.apply(mp_params, mp_state, h, train=True)
+    folded = mlp.fold_batch_norm(mp_params, mp_state)
+    empty_state = {"layers": [{} for _ in folded["layers"]]}
+
+    def unfused(s_, b_, m_, x_):
+        hh = interaction.senet_bilinear_concat_reference(s_, b_, x_, bilinear_type="all")
+        logits, _ = mlp.apply(m_, empty_state, hh, train=False)
+        return jax.nn.sigmoid(logits[:, 0])
+
+    unfused_j = jax.jit(unfused)
+    fused_j = jax.jit(
+        lambda s_, b_, m_, x_: fused_score(s_, b_, m_, x_, bilinear_type="all")
+    )
+    t_unf = timeit(unfused_j, sp, bp, folded, x)
+    t_fus = timeit(fused_j, sp, bp, folded, x)
+    results.append(
+        {
+            "bench": "fused_scoring",
+            "shape": f"({b},{f},{e})->probs",
+            "xla_us": round(t_unf * 1e6, 1),
+            "pallas_us": round(t_fus * 1e6, 1),
+            "speedup": round(t_unf / t_fus, 3),
+        }
+    )
+
+    for r in results:
+        r["backend"] = jax.default_backend()
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()

@@ -132,6 +132,14 @@ def run_training(exp, *, resume: bool = False, strict_items: bool = False) -> in
         item_store=None if strict_items else store,
     )
 
+    import jax
+
+    single_chip = len(mesh.devices.flat) == 1
+    if single_chip and not strict_items:
+        # whole split resident in HBM; epochs run as one jitted scan
+        trainer.fit_on_device(train, valid, resume=resume)
+        return 0
+
     def train_batches(epoch):
         return iter_batches(
             train, fm, bs, shuffle=exp.train.shuffle, seed=exp.train.seed,

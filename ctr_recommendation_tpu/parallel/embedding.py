@@ -69,7 +69,7 @@ def sharded_lookup(
         mesh=mesh,
         in_specs=(P(model_axis, None), id_spec),
         out_specs=out_spec,
-        check_rep=False,
+        check_vma=False,
     )
     def _lookup(tbl, ids_):
         midx = jax.lax.axis_index(model_axis)

@@ -151,42 +151,68 @@ class Trainer:
     def _eval_step(self, params, model_state, batch):
         return self._eval_step_fn(params, model_state, self._mm_tables, batch)
 
-    def _build_train_step(self):
+    def _step_impl(self, state: TrainState, batch: dict, mm_tables: dict, rng):
+        """One optimizer step (pure; shared by the per-batch jit and the
+        on-device epoch scan)."""
         module, fm, cfg = self.module, self.fm, self.exp.model
-        tx, compute_dtype, lookup = self.tx, self._compute_dtype, self.lookup
+        weight = batch.get("__weight__")
+        labels = batch[fm.label]
+        feats = {k: v for k, v in batch.items() if k not in (fm.label, "__weight__")}
+        feats = self._device_join(feats, mm_tables)
+        step_rng = jax.random.fold_in(rng, state.step)
 
+        def loss_fn(params):
+            logits, new_mstate = module.apply(
+                params, state.model_state, fm, cfg, feats,
+                train=True, rng=step_rng, compute_dtype=self._compute_dtype,
+                lookup=self.lookup,
+            )
+            return bce_with_logits(logits, labels, weight), new_mstate
+
+        (loss, new_mstate), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            model_state=new_mstate,
+            opt_state=new_opt,
+        )
+        return new_state, {"loss": loss}
+
+    def _build_train_step(self):
         @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, batch: dict, mm_tables: dict, rng: jax.Array):
-            weight = batch.get("__weight__")
-            labels = batch[fm.label]
-            feats = {
-                k: v for k, v in batch.items() if k not in (fm.label, "__weight__")
-            }
-            feats = self._device_join(feats, mm_tables)
-            step_rng = jax.random.fold_in(rng, state.step)
-
-            def loss_fn(params):
-                logits, new_mstate = module.apply(
-                    params, state.model_state, fm, cfg, feats,
-                    train=True, rng=step_rng, compute_dtype=compute_dtype,
-                    lookup=lookup,
-                )
-                return bce_with_logits(logits, labels, weight), new_mstate
-
-            (loss, new_mstate), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params
-            )
-            updates, new_opt = tx.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
-            new_state = TrainState(
-                step=state.step + 1,
-                params=new_params,
-                model_state=new_mstate,
-                opt_state=new_opt,
-            )
-            return new_state, {"loss": loss}
+            return self._step_impl(state, batch, mm_tables, rng)
 
         return train_step
+
+    def _build_train_epoch(self, num_steps: int, batch_size: int):
+        """Whole epoch as one jitted lax.scan over a device-resident split:
+        per step, gather a shuffled batch from the on-device columns and run
+        the optimizer step. Zero host involvement inside the epoch — this is
+        the TPU-native answer to per-batch dispatch overhead."""
+
+        @functools.partial(jax.jit, static_argnames=(), donate_argnums=(0,))
+        def train_epoch(
+            state: TrainState, data: dict, perm: jax.Array, mm_tables: dict,
+            rng: jax.Array,
+        ):
+            def body(carry, i):
+                st = carry
+                idx = jax.lax.dynamic_slice_in_dim(perm, i * batch_size, batch_size)
+                batch = {k: v[idx] for k, v in data.items()}
+                st, metrics = self._step_impl(st, batch, mm_tables, rng)
+                return st, metrics["loss"]
+
+            state, losses = jax.lax.scan(
+                body, state, jnp.arange(num_steps, dtype=jnp.int32)
+            )
+            return state, losses
+
+        return train_epoch
 
     def _build_eval_step(self):
         module, fm, cfg = self.module, self.fm, self.exp.model
@@ -312,6 +338,144 @@ class Trainer:
             w = csv.DictWriter(f, fieldnames=keys)
             w.writeheader()
             w.writerows(self.history)
+
+    # -------------------------------------------------------- device-resident
+    def _upload_split(self, table, include_label: bool = True) -> dict:
+        cols = {
+            k: jax.device_put(v, self._repl_sharding)
+            for k, v in table.columns.items()
+            if include_label or k != self.fm.label
+        }
+        return cols
+
+    def fit_on_device(self, train, valid=None, *, resume: bool = False):
+        """Train with the whole split resident in HBM: one jitted lax.scan
+        per epoch (see _build_train_epoch). Semantically identical to
+        ``fit`` with drop_last shuffled batches; host involvement per epoch
+        is one permutation upload + one scalar readback.
+
+        ``train``/``valid`` are TableData (data/parquet.py). Dense item
+        features come from the device-side join, so the split carries ids
+        only.
+        """
+        tc = self.exp.train
+        bs = tc.batch_size
+        n = train.num_rows
+        steps = n // bs
+        if steps == 0:
+            raise ValueError(f"batch_size {bs} > split rows {n}")
+        data = self._upload_split(train)
+        epoch_fn = self._build_train_epoch(steps, bs)
+        valid_data = None
+        if valid is not None:
+            valid_data = self._prepare_eval_split(valid, tc.eval_batch_size)
+
+        rng = jax.device_put(jax.random.key(tc.seed + 1), self._repl_sharding)
+        perm_key = jax.random.key(tc.seed + 2)
+        best = -np.inf if tc.monitor_mode == "max" else np.inf
+        start_epoch = 0
+        if resume:
+            latest = self.ckpt.latest_step()
+            if latest is not None:
+                restored = self.ckpt.restore(latest, self.state)
+                self.state = jax.device_put(restored, self._state_shardings)
+                start_epoch = int(latest)
+                self.log(f"[resume] epoch {start_epoch} step {int(self.state.step)}")
+
+        for epoch in range(start_epoch, tc.epochs):
+            t0 = time.time()
+            if tc.shuffle:
+                perm = jax.random.permutation(jax.random.fold_in(perm_key, epoch), n)
+            else:
+                perm = jnp.arange(n)
+            self.state, losses = epoch_fn(self.state, data, perm, self._mm_tables, rng)
+            train_loss = float(jnp.mean(losses))
+            dt = time.time() - t0
+            rows = steps * bs
+            entry: dict[str, float] = {
+                "epoch": epoch + 1,
+                "train_loss": train_loss,
+                "examples_per_sec": rows / dt if dt > 0 else 0.0,
+                "seconds": dt,
+            }
+            if valid_data is not None:
+                entry.update(self._evaluate_prepared(valid_data))
+                metric = entry[tc.monitor]
+                improved = metric > best if tc.monitor_mode == "max" else metric < best
+                if improved:
+                    best = metric
+                    self.ckpt.save_best(
+                        self.state.params, self.state.model_state, metric,
+                        int(self.state.step),
+                    )
+                    self.log(
+                        f"[epoch {epoch + 1}] new best {tc.monitor}={metric:.4f} — exported"
+                    )
+            self.ckpt.save(epoch + 1, self.state)
+            self.log(
+                f"[epoch {epoch + 1}] loss {train_loss:.4f} "
+                + " ".join(
+                    f"{k} {v:.4f}" for k, v in entry.items() if k in ("auc", "logloss")
+                )
+                + f" ({rows}/{dt:.2f}s = {entry['examples_per_sec']:.0f} ex/s)"
+            )
+            self.history.append(entry)
+            self._write_history_csv()
+        self.log(f"Done. Best {tc.monitor}: {best:.4f}")
+        return self.history
+
+    def _prepare_eval_split(self, table, batch_size: int):
+        """Pad to a batch multiple, upload once, build the jitted eval scan."""
+        n = table.num_rows
+        num_batches = max(1, -(-n // batch_size))
+        padded = num_batches * batch_size
+        cols = {}
+        for k, v in table.columns.items():
+            pad = padded - n
+            if pad:
+                v = np.concatenate([v, np.zeros((pad, *v.shape[1:]), v.dtype)])
+            cols[k] = jax.device_put(v, self._repl_sharding)
+        weight = np.concatenate(
+            [np.ones(n, np.float32), np.zeros(padded - n, np.float32)]
+        )
+        weight = jax.device_put(weight, self._repl_sharding)
+
+        module, fm, cfg = self.module, self.fm, self.exp.model
+        compute_dtype = self._compute_dtype
+
+        @jax.jit
+        def eval_scan(params, model_state, data, mm_tables):
+            def body(_, i):
+                start = i * batch_size
+                batch = {
+                    k: jax.lax.dynamic_slice_in_dim(v, start, batch_size)
+                    for k, v in data.items()
+                }
+                feats = {k: v for k, v in batch.items() if k != fm.label}
+                feats = self._device_join(feats, mm_tables)
+                logits, _ = module.apply(
+                    params, model_state, fm, cfg, feats,
+                    train=False, compute_dtype=compute_dtype, lookup=self.lookup,
+                )
+                return None, jax.nn.sigmoid(logits)
+
+            _, probs = jax.lax.scan(
+                body, None, jnp.arange(num_batches, dtype=jnp.int32)
+            )
+            return probs.reshape(-1)
+
+        labels = cols[fm.label]
+        feats_only = {k: v for k, v in cols.items() if k != fm.label}
+        return {"fn": eval_scan, "data": feats_only, "labels": labels, "weight": weight}
+
+    def _evaluate_prepared(self, prepared) -> dict[str, float]:
+        probs = prepared["fn"](
+            self.state.params, self.state.model_state, prepared["data"],
+            self._mm_tables,
+        )
+        auc_v = metrics_lib.auc(prepared["labels"], probs, prepared["weight"])
+        ll = metrics_lib.logloss(prepared["labels"], probs, prepared["weight"])
+        return {"auc": float(auc_v), "logloss": float(ll)}
 
     # ------------------------------------------------------------------ eval
     def evaluate(self, batches: Iterator[dict]) -> dict[str, float]:
