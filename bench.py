@@ -89,16 +89,20 @@ def main() -> None:
     epoch_fn = trainer._build_train_epoch(n_steps, train_bs)
     key = jax.random.key(0)
     perm = jax.random.permutation(jax.random.key(1), n_rows)
-    trainer.state, losses = epoch_fn(
-        trainer.state, data, perm, trainer._mm_tables, key
-    )  # compile
-    jax.block_until_ready(losses)
-    t0 = time.perf_counter()
-    trainer.state, losses = epoch_fn(
-        trainer.state, data, perm, trainer._mm_tables, key
-    )
-    jax.block_until_ready(losses)
-    train_rows_per_sec = n_rows / (time.perf_counter() - t0)
+    for _ in range(2):  # compile + warm (first post-compile rep is unreliable)
+        trainer.state, losses = epoch_fn(
+            trainer.state, data, perm, trainer._mm_tables, key
+        )
+        jax.block_until_ready((trainer.state.params, losses))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        trainer.state, losses = epoch_fn(
+            trainer.state, data, perm, trainer._mm_tables, key
+        )
+        jax.block_until_ready((trainer.state.params, losses))
+        times.append(time.perf_counter() - t0)
+    train_rows_per_sec = n_rows / float(np.median(times))
 
     print(
         json.dumps(

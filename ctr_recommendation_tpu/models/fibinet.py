@@ -61,8 +61,9 @@ def apply(
         bilinear_type=cfg.bilinear_type, use_pallas=cfg.use_pallas,
     )
     rng_mlp = None if rng is None else jax.random.fold_in(rng, 1)
+    td = jnp.float32 if cfg.tower_dtype == "float32" else compute_dtype
     logits, mlp_state = mlp_ops.apply(
-        params["mlp"], state["mlp"], h.astype(jnp.float32),
+        params["mlp"], state["mlp"], h.astype(td),
         train=train, dropout_rate=cfg.net_dropout, rng=rng_mlp,
     )
-    return logits[..., 0], {"mlp": mlp_state}
+    return logits[..., 0].astype(jnp.float32), {"mlp": mlp_state}

@@ -51,9 +51,10 @@ def apply(
     )
     b = x.shape[0]
     rng_mlp = None if rng is None else jax.random.fold_in(rng, 1)
+    td = jnp.float32 if cfg.tower_dtype == "float32" else compute_dtype
     dnn_logit, mlp_state = mlp_ops.apply(
-        params["mlp"], state["mlp"], x.reshape(b, -1).astype(jnp.float32),
+        params["mlp"], state["mlp"], x.reshape(b, -1).astype(td),
         train=train, dropout_rate=cfg.net_dropout, rng=rng_mlp,
     )
-    cin_logit = cin_ops.apply(params["cin"], x).astype(jnp.float32)
-    return (dnn_logit + cin_logit)[..., 0], {"mlp": mlp_state}
+    cin_logit = cin_ops.apply(params["cin"], x).astype(dnn_logit.dtype)
+    return (dnn_logit + cin_logit)[..., 0].astype(jnp.float32), {"mlp": mlp_state}

@@ -54,8 +54,10 @@ def init(
 
 def _batch_norm(layer, st, h, train: bool):
     if train:
-        mean = jnp.mean(h, axis=0)
-        var = jnp.var(h, axis=0)  # biased, used for normalization
+        # statistics always in fp32 (stable even when the tower runs bf16)
+        h32 = h.astype(jnp.float32)
+        mean = jnp.mean(h32, axis=0)
+        var = jnp.var(h32, axis=0)  # biased, used for normalization
         n = h.shape[0]
         unbiased = var * (n / max(n - 1, 1))
         new_st = {

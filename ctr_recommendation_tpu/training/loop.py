@@ -390,6 +390,11 @@ class Trainer:
                 perm = jnp.arange(n)
             self.state, losses = epoch_fn(self.state, data, perm, self._mm_tables, rng)
             train_loss = float(jnp.mean(losses))
+            if not np.isfinite(train_loss):
+                raise FloatingPointError(
+                    f"non-finite train loss at epoch {epoch + 1}: {train_loss} "
+                    "(enable jax_debug_nans to localize)"
+                )
             dt = time.time() - t0
             rows = steps * bs
             entry: dict[str, float] = {
