@@ -26,6 +26,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic", metavar="DIR",
                    help="generate a synthetic MicroLens-shaped dataset in DIR and train on it")
     p.add_argument("--synthetic-rows", type=int, default=200_000)
+    p.add_argument("--synthetic-items", type=int, default=4096,
+                   help="item vocab for --synthetic (use 91717 for full MicroLens scale)")
     p.add_argument("--model", default=None,
                    help="model name (mm_fibinet | xdeepfm | finalmlp | sasrec_fibinet)")
     p.add_argument("--epochs", type=int, default=None)
@@ -39,6 +41,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--no-pallas", action="store_true")
     p.add_argument("--strict-items", action="store_true",
                    help="raise on item_ids missing from item_info (reference train semantics)")
+    p.add_argument("--stream", action="store_true",
+                   help="stream the train split from parquet row groups instead of "
+                        "loading it into RAM/HBM (for splits larger than memory)")
     return p
 
 
@@ -67,7 +72,10 @@ def main(argv=None) -> int:
         os.makedirs(args.synthetic, exist_ok=True)
         if not os.path.exists(os.path.join(args.synthetic, "train.parquet")):
             print(f"[synthetic] generating {args.synthetic_rows} rows in {args.synthetic}")
-            write_synthetic_dataset(args.synthetic, num_rows=args.synthetic_rows)
+            write_synthetic_dataset(
+                args.synthetic, num_rows=args.synthetic_rows,
+                num_items=args.synthetic_items,
+            )
         exp = microlens_experiment(
             data_root=args.synthetic, model=args.model or "mm_fibinet", **overrides
         )
@@ -77,7 +85,8 @@ def main(argv=None) -> int:
             dataset=dataclasses.replace(
                 exp.dataset,
                 features=loader.microlens_features(
-                    item_vocab=4097, cate_vocab=11, max_len=20, mm_dim=128
+                    item_vocab=args.synthetic_items + 1, cate_vocab=11,
+                    max_len=20, mm_dim=128,
                 ),
             )
         )
@@ -98,10 +107,14 @@ def main(argv=None) -> int:
     if args.model_parallel > 1:
         exp = exp.replace(mesh=MeshConfig(model_parallel=args.model_parallel))
 
-    return run_training(exp, resume=args.resume, strict_items=args.strict_items)
+    return run_training(
+        exp, resume=args.resume, strict_items=args.strict_items, stream=args.stream
+    )
 
 
-def run_training(exp, *, resume: bool = False, strict_items: bool = False) -> int:
+def run_training(
+    exp, *, resume: bool = False, strict_items: bool = False, stream: bool = False
+) -> int:
     from ctr_recommendation_tpu.data import ItemStore, iter_batches, load_split
     from ctr_recommendation_tpu.features import build_feature_map
     from ctr_recommendation_tpu.parallel.embedding import make_sharded_lookup
@@ -110,19 +123,26 @@ def run_training(exp, *, resume: bool = False, strict_items: bool = False) -> in
 
     fm = build_feature_map(exp.dataset)
     print(f"[data] loading {exp.dataset.train_data}")
-    train = load_split(exp.dataset.train_data, fm)
     valid = load_split(exp.dataset.valid_data, fm)
     store = ItemStore.from_parquet(
         exp.dataset.item_info,
         id_col=exp.dataset.item_info_key,
         emb_col=exp.dataset.item_info_emb_col,
     )
-    print(f"[data] train {train.num_rows} rows, valid {valid.num_rows} rows")
+    bs = exp.train.batch_size
+    if stream:
+        import pyarrow.parquet as pq
+
+        train_rows = pq.ParquetFile(exp.dataset.train_data).metadata.num_rows
+        train = None
+    else:
+        train = load_split(exp.dataset.train_data, fm)
+        train_rows = train.num_rows
+    print(f"[data] train {train_rows} rows, valid {valid.num_rows} rows")
 
     mesh = make_mesh(exp.mesh)
     lookup = make_sharded_lookup(mesh) if exp.mesh.model_parallel > 1 else None
-    bs = exp.train.batch_size
-    spe = max(train.num_rows // bs, 1)
+    spe = max(train_rows // bs, 1)
     # Default: item join happens ON DEVICE inside the jitted step (batches
     # carry only ids). strict mode needs the host-side check, so it keeps
     # the host join (reference training semantics, dataloader.py:104-106).
@@ -132,20 +152,32 @@ def run_training(exp, *, resume: bool = False, strict_items: bool = False) -> in
         item_store=None if strict_items else store,
     )
 
-    import jax
-
     single_chip = len(mesh.devices.flat) == 1
-    if single_chip and not strict_items:
+    if single_chip and not strict_items and not stream:
         # whole split resident in HBM; epochs run as one jitted scan
         trainer.fit_on_device(train, valid, resume=resume)
         return 0
 
-    def train_batches(epoch):
-        return iter_batches(
-            train, fm, bs, shuffle=exp.train.shuffle, seed=exp.train.seed,
-            epoch=epoch, item_store=host_store, drop_last=True,
-            strict_items=strict_items,
-        )
+    if stream:
+        from ctr_recommendation_tpu.data import stream_batches
+        from ctr_recommendation_tpu.parallel import distributed
+
+        def train_batches(epoch):
+            return stream_batches(
+                exp.dataset.train_data, fm, bs,
+                shuffle=exp.train.shuffle, seed=exp.train.seed, epoch=epoch,
+                host_index=distributed.host_id(), host_count=distributed.host_count(),
+                item_store=host_store, drop_last=True,
+            )
+
+    else:
+
+        def train_batches(epoch):
+            return iter_batches(
+                train, fm, bs, shuffle=exp.train.shuffle, seed=exp.train.seed,
+                epoch=epoch, item_store=host_store, drop_last=True,
+                strict_items=strict_items,
+            )
 
     def valid_batches():
         return iter_batches(valid, fm, exp.train.eval_batch_size, item_store=host_store)

@@ -43,21 +43,25 @@ def make_synthetic_tables(
     views_level = rng.integers(0, cate_vocab, size=num_rows).astype(np.int64)
 
     seq_lens = rng.integers(0, max_len + 1, size=num_rows)
-    item_seq = [
-        rng.integers(1, num_items + 1, size=l).astype(np.int64) for l in seq_lens
-    ]
+    # padded (N, max_len) matrix, 0 = pad; vectorized (no per-row Python)
+    seq_mat = rng.integers(1, num_items + 1, size=(num_rows, max_len))
+    pos = np.arange(max_len)[None, :]
+    mask = pos < seq_lens[:, None]
+    seq_mat = np.where(mask, seq_mat, 0)
+    item_seq = [row[:l].astype(np.int64) for row, l in zip(seq_mat, seq_lens)]
 
     # planted CTR signal, dominated by components that GENERALIZE across
     # iid splits (context levels, item popularity, history-target affinity)
     # so a correct trainer separates cleanly from a memorizing one.
     logits = item_pop[item_id].copy()
-    for r in range(num_rows):
-        if seq_lens[r]:
-            hist = item_factors[item_seq[r]].mean(axis=0)
-            logits[r] += 3.0 * float(hist @ item_factors[item_id[r]])
-            logits[r] += 0.5 * float(
-                np.mean(cate_of_item[item_seq[r]] == cate_of_item[item_id[r]])
-            )
+    counts = np.maximum(seq_lens, 1)[:, None]
+    hist_mean = (item_factors[seq_mat] * mask[:, :, None]).sum(axis=1) / counts
+    logits += 3.0 * np.einsum("nd,nd->n", hist_mean, item_factors[item_id])
+    cate_match = (
+        ((cate_of_item[seq_mat] == cate_of_item[item_id][:, None]) & mask).sum(axis=1)
+        / counts[:, 0]
+    )
+    logits += 0.5 * np.where(seq_lens > 0, cate_match, 0.0)
     half = (cate_vocab - 1) / 2.0
     logits += 1.2 * (likes_level - half) / half
     logits += 0.8 * (views_level - half) / half
