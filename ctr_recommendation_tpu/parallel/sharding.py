@@ -53,24 +53,28 @@ def tree_shardings(spec_tree: Any, mesh: Mesh) -> Any:
 
 
 def opt_state_specs(opt_state: Any, params_spec_tree: Any, params: Any) -> Any:
-    """Give optimizer-state leaves the spec of the param they mirror (matched
-    by shape identity inside tree prefixes), replicating everything else."""
-    flat_params, _ = jax.tree.flatten(params)
-    flat_specs, _ = jax.tree.flatten(
-        params_spec_tree, is_leaf=lambda x: isinstance(x, P)
-    )
-    shape_to_spec: dict[tuple, Any] = {}
-    for p, s in zip(flat_params, flat_specs):
-        key = (p.shape, str(p.dtype))
-        # only map unambiguous, sharded shapes; default replicate
-        if key in shape_to_spec and shape_to_spec[key] != s:
-            shape_to_spec[key] = P()
-        else:
-            shape_to_spec.setdefault(key, s)
+    """Give optimizer-state subtrees that mirror the params tree (optax
+    moments: Adam mu/nu, Adagrad accumulators) the param specs, and
+    replicate every other leaf (step counters etc.)."""
+    params_treedef = jax.tree.structure(params)
 
-    def leaf_spec(x):
-        if hasattr(x, "shape"):
-            return shape_to_spec.get((x.shape, str(x.dtype)), P())
+    def is_params_like(x: Any) -> bool:
+        try:
+            return jax.tree.structure(x) == params_treedef
+        except Exception:
+            return False
+
+    def rec(node: Any) -> Any:
+        if is_params_like(node):
+            return params_spec_tree
+        if isinstance(node, tuple) and hasattr(node, "_fields"):  # NamedTuple
+            return type(node)(*[rec(c) for c in node])
+        if isinstance(node, tuple):
+            return tuple(rec(c) for c in node)
+        if isinstance(node, list):
+            return [rec(c) for c in node]
+        if isinstance(node, dict):
+            return {k: rec(v) for k, v in node.items()}
         return P()
 
-    return jax.tree.map(leaf_spec, opt_state)
+    return rec(opt_state)

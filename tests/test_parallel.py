@@ -80,6 +80,23 @@ def test_distributed_training_step_runs_and_learns(dp, mp, tiny_experiment, tiny
     table = trainer.state.params["trunk"]["tables"]["item_id"]
     if mp > 1:
         assert table.sharding.spec == P("model", None)
+        # optimizer moments that mirror tables must be sharded identically
+        import optax
+
+        found = False
+        for element in jax.tree.leaves(
+            trainer.state.opt_state,
+            is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState),
+        ):
+            if isinstance(element, optax.ScaleByAdamState):
+                mu_table = element.mu["trunk"]["tables"]["item_id"]
+                assert mu_table.sharding.spec == P("model", None)
+                # the padded (128, E) category table collides in shape with
+                # dense (E, E) weights — structure matching must still shard it
+                mu_cate = element.mu["trunk"]["tables"]["likes_level"]
+                assert mu_cate.sharding.spec == P("model", None)
+                found = True
+        assert found
 
     rng = np.random.default_rng(0)
     losses = []
