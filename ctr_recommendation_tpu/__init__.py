@@ -23,4 +23,32 @@ Layout:
 
 from ctr_recommendation_tpu.version import __version__
 
-__all__ = ["__version__"]
+
+def __getattr__(name):
+    # Lazy top-level conveniences (avoid importing jax at package import).
+    if name == "Trainer":
+        from ctr_recommendation_tpu.training import Trainer
+
+        return Trainer
+    if name == "Predictor":
+        from ctr_recommendation_tpu.inference import Predictor
+
+        return Predictor
+    if name == "build_model":
+        from ctr_recommendation_tpu.models import build_model
+
+        return build_model
+    if name == "microlens_experiment":
+        from ctr_recommendation_tpu.config import microlens_experiment
+
+        return microlens_experiment
+    raise AttributeError(name)
+
+
+__all__ = [
+    "Predictor",
+    "Trainer",
+    "__version__",
+    "build_model",
+    "microlens_experiment",
+]

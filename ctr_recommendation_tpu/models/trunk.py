@@ -17,6 +17,7 @@ lookup used by the distributed train step.
 
 from __future__ import annotations
 
+import zlib
 from typing import Callable
 
 import jax
@@ -130,7 +131,9 @@ def apply(
                     pad_id=f.pad_id,
                     train=train,
                     dropout_rate=cfg.attn_dropout,
-                    rng=None if rng is None else jax.random.fold_in(rng, hash(f.name) % (2**31)),
+                    rng=None if rng is None else jax.random.fold_in(
+                        rng, zlib.crc32(f.name.encode()) % (2**31)
+                    ),
                 )
                 # target = the item_id field's embedding if present, else mean
                 target_name = fm.table_of[f.name]
