@@ -41,6 +41,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--no-pallas", action="store_true")
     p.add_argument("--strict-items", action="store_true",
                    help="raise on item_ids missing from item_info (reference train semantics)")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of one epoch into DIR and exit")
     p.add_argument("--stream", action="store_true",
                    help="stream the train split from parquet row groups instead of "
                         "loading it into RAM/HBM (for splits larger than memory)")
@@ -108,12 +110,14 @@ def main(argv=None) -> int:
         exp = exp.replace(mesh=MeshConfig(model_parallel=args.model_parallel))
 
     return run_training(
-        exp, resume=args.resume, strict_items=args.strict_items, stream=args.stream
+        exp, resume=args.resume, strict_items=args.strict_items, stream=args.stream,
+        profile_dir=args.profile_dir,
     )
 
 
 def run_training(
-    exp, *, resume: bool = False, strict_items: bool = False, stream: bool = False
+    exp, *, resume: bool = False, strict_items: bool = False, stream: bool = False,
+    profile_dir: str | None = None,
 ) -> int:
     from ctr_recommendation_tpu.data import ItemStore, iter_batches, load_split
     from ctr_recommendation_tpu.features import build_feature_map
@@ -151,6 +155,10 @@ def run_training(
         exp, mesh=mesh, steps_per_epoch=spe, lookup=lookup,
         item_store=None if strict_items else store,
     )
+
+    if profile_dir:
+        trainer.profile_epoch(train, profile_dir)
+        return 0
 
     single_chip = len(mesh.devices.flat) == 1
     if single_chip and not strict_items and not stream:

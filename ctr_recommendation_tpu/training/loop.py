@@ -348,6 +348,25 @@ class Trainer:
         }
         return cols
 
+    def profile_epoch(self, train, log_dir: str) -> None:
+        """Capture a jax.profiler device trace of one on-device epoch
+        (Perfetto/XProf-compatible, SURVEY §5.1 gap)."""
+        from ctr_recommendation_tpu.utils.profiling import trace
+
+        tc = self.exp.train
+        steps = max(train.num_rows // tc.batch_size, 1)
+        data = self._upload_split(train)
+        epoch_fn = self._build_train_epoch(steps, tc.batch_size)
+        perm = jax.random.permutation(jax.random.key(0), train.num_rows)
+        rng = jax.random.key(1)
+        # compile outside the trace so the capture is pure execution
+        self.state, losses = epoch_fn(self.state, data, perm, self._mm_tables, rng)
+        jax.block_until_ready(losses)
+        with trace(log_dir):
+            self.state, losses = epoch_fn(self.state, data, perm, self._mm_tables, rng)
+            jax.block_until_ready(losses)
+        self.log(f"[profile] trace written to {log_dir}")
+
     def fit_on_device(self, train, valid=None, *, resume: bool = False):
         """Train with the whole split resident in HBM: one jitted lax.scan
         per epoch (see _build_train_epoch). Semantically identical to
@@ -481,6 +500,13 @@ class Trainer:
         auc_v = metrics_lib.auc(prepared["labels"], probs, prepared["weight"])
         ll = metrics_lib.logloss(prepared["labels"], probs, prepared["weight"])
         return {"auc": float(auc_v), "logloss": float(ll)}
+
+    def evaluate_table(self, table, batch_size: int | None = None) -> dict[str, float]:
+        """AUC/logloss over a TableData split, fully on device."""
+        prepared = self._prepare_eval_split(
+            table, batch_size or self.exp.train.eval_batch_size
+        )
+        return self._evaluate_prepared(prepared)
 
     # ------------------------------------------------------------------ eval
     def evaluate(self, batches: Iterator[dict]) -> dict[str, float]:
