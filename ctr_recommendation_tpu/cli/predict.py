@@ -25,16 +25,36 @@ def main(argv=None) -> int:
 
     compilation_cache.enable()
 
-    from ctr_recommendation_tpu.config import microlens_experiment
+    import dataclasses
+    import os
+
+    from ctr_recommendation_tpu.config import microlens_experiment, serialize
     from ctr_recommendation_tpu.data import ItemStore, iter_batches, load_split
     from ctr_recommendation_tpu.features import build_feature_map
     from ctr_recommendation_tpu.inference import Predictor, write_submission
     from ctr_recommendation_tpu.training import Trainer
 
-    overrides = {"checkpoint_dir": args.checkpoint_dir}
-    if args.embedding_dim:
-        overrides["embedding_dim"] = args.embedding_dim
-    exp = microlens_experiment(data_root=args.data_root, model=args.model, **overrides)
+    exp_json = os.path.join(args.checkpoint_dir, "experiment.json")
+    if os.path.exists(exp_json):
+        # checkpoint is self-describing — rebuild the exact trained model
+        exp = serialize.load(exp_json)
+        root = args.data_root
+        exp = exp.replace(
+            dataset=dataclasses.replace(
+                exp.dataset,
+                data_root=root,
+                test_data=os.path.join(root, "test.parquet"),
+                item_info=os.path.join(root, "item_info.parquet"),
+            ),
+            train=dataclasses.replace(exp.train, checkpoint_dir=args.checkpoint_dir),
+        )
+    else:
+        overrides = {"checkpoint_dir": args.checkpoint_dir}
+        if args.embedding_dim:
+            overrides["embedding_dim"] = args.embedding_dim
+        exp = microlens_experiment(
+            data_root=args.data_root, model=args.model, **overrides
+        )
     fm = build_feature_map(exp.dataset)
 
     test = load_split(exp.dataset.test_data, fm, include_label=False)

@@ -125,6 +125,9 @@ def run_training(
     from ctr_recommendation_tpu.parallel.mesh import make_mesh
     from ctr_recommendation_tpu.training import Trainer
 
+    from ctr_recommendation_tpu.models import get_model
+
+    get_model(exp.model.model)  # fail fast on unknown model, before data load
     fm = build_feature_map(exp.dataset)
     print(f"[data] loading {exp.dataset.train_data}")
     valid = load_split(exp.dataset.valid_data, fm)

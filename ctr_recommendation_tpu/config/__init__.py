@@ -25,3 +25,7 @@ __all__ = [
     "microlens_experiment",
     "microlens_features",
 ]
+
+from ctr_recommendation_tpu.config import serialize  # noqa: E402
+
+__all__.append("serialize")

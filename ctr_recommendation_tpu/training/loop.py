@@ -71,6 +71,19 @@ class Trainer:
         self.ckpt = CheckpointManager(
             checkpoint_dir or tc.checkpoint_dir, max_to_keep=tc.keep_checkpoints
         )
+        # checkpoints are self-describing: persist the experiment so predict
+        # can rebuild the exact model (config/serialize.py)
+        try:
+            import os
+
+            from ctr_recommendation_tpu.config import serialize
+
+            serialize.save(
+                self.exp,
+                os.path.join(checkpoint_dir or tc.checkpoint_dir, "experiment.json"),
+            )
+        except OSError:
+            pass
 
         da, ma = experiment.mesh.data_axis, experiment.mesh.model_axis
         self._batch_sharding = NamedSharding(self.mesh, P(da))
