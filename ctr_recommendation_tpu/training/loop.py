@@ -314,13 +314,11 @@ class Trainer:
                     self.log(
                         f"[epoch {epoch + 1}] new best {tc.monitor}={metric:.4f} — exported"
                     )
-            if not tc.save_best_only or valid_batches is None:
-                self.ckpt.save(epoch + 1, self.state)
-            else:
-                # still keep a resume point every epoch (cheap; pruned by
-                # max_to_keep) — this is the preemption-recovery gap the
-                # reference has (SURVEY §5.3).
-                self.ckpt.save(epoch + 1, self.state)
+            # Full-state resume point every epoch regardless of
+            # save_best_only (cheap; pruned by max_to_keep) — closes the
+            # preemption-recovery gap the reference has (SURVEY §5.3); the
+            # best-metric EXPORT above is still gated on improvement.
+            self.ckpt.save(epoch + 1, self.state)
             self.log(
                 f"[epoch {epoch + 1}] loss {train_loss:.4f} "
                 + " ".join(

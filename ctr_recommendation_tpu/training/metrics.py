@@ -105,7 +105,9 @@ def binned_auc_finalize(hist_pos: jax.Array, hist_neg: jax.Array) -> jax.Array:
 @jax.jit
 def logloss(labels: jax.Array, probs: jax.Array, weight: jax.Array | None = None) -> jax.Array:
     labels = labels.astype(jnp.float32)
-    p = jnp.clip(probs.astype(jnp.float32), 1e-15, 1.0 - 1e-15)
+    # eps must be representable around 1.0 in fp32: 1 - 1e-15 rounds to 1.0
+    # and log(0) = -inf; 1e-7 is the float32-safe analogue of sklearn's clip.
+    p = jnp.clip(probs.astype(jnp.float32), 1e-7, 1.0 - 1e-7)
     ll = -(labels * jnp.log(p) + (1.0 - labels) * jnp.log(1.0 - p))
     if weight is None:
         return jnp.mean(ll)
