@@ -208,6 +208,9 @@ class Trainer:
         the optimizer step. Zero host involvement inside the epoch — this is
         the TPU-native answer to per-batch dispatch overhead."""
 
+        da = self.exp.mesh.data_axis
+        dp = self.mesh.shape[da]
+
         @functools.partial(jax.jit, static_argnames=(), donate_argnums=(0,))
         def train_epoch(
             state: TrainState, data: dict, perm: jax.Array, mm_tables: dict,
@@ -217,6 +220,19 @@ class Trainer:
                 st = carry
                 idx = jax.lax.dynamic_slice_in_dim(perm, i * batch_size, batch_size)
                 batch = {k: v[idx] for k, v in data.items()}
+                if dp > 1:
+                    # distribute the gathered batch over the data axis so the
+                    # step computes data-parallel even though the split
+                    # itself is stored replicated
+                    batch = {
+                        k: jax.lax.with_sharding_constraint(
+                            v,
+                            NamedSharding(
+                                self.mesh, P(da, *([None] * (v.ndim - 1)))
+                            ),
+                        )
+                        for k, v in batch.items()
+                    }
                 st, metrics = self._step_impl(st, batch, mm_tables, rng)
                 return st, metrics["loss"]
 
