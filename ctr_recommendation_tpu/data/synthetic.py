@@ -111,6 +111,16 @@ def write_synthetic_dataset(
         "valid": slice(n - n_valid - n_test, n - n_test),
         "test": slice(n - n_test, n),
     }
+    def _list_array(seqs: list) -> pa.ListArray:
+        # arrow-native construction: offsets + flat values, no Python lists
+        lens = np.fromiter((len(s) for s in seqs), dtype=np.int64, count=len(seqs))
+        offsets = np.zeros(len(seqs) + 1, np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        values = (
+            np.concatenate(seqs) if offsets[-1] else np.zeros(0, np.int64)
+        )
+        return pa.LargeListArray.from_arrays(pa.array(offsets), pa.array(values))
+
     paths = {}
     for name, sl in splits.items():
         cols = {}
@@ -118,19 +128,20 @@ def write_synthetic_dataset(
             if name == "test" and k == "label":
                 continue
             vv = v[sl]
-            cols[k] = pa.array(list(vv)) if isinstance(v, list) else pa.array(vv)
+            cols[k] = _list_array(vv) if isinstance(v, list) else pa.array(vv)
         path = os.path.join(root, f"{name}.parquet")
         pq.write_table(pa.table(cols), path)
         paths[name] = path
 
     info_path = os.path.join(root, "item_info.parquet")
+    emb = np.asarray(item_info["item_emb_d128"], dtype=np.float32)
+    n_items, dim = emb.shape
+    emb_list = pa.LargeListArray.from_arrays(
+        pa.array(np.arange(n_items + 1, dtype=np.int64) * dim),
+        pa.array(emb.reshape(-1)),
+    )
     pq.write_table(
-        pa.table(
-            {
-                "item_id": pa.array(item_info["item_id"]),
-                "item_emb_d128": pa.array([list(map(float, v)) for v in item_info["item_emb_d128"]]),
-            }
-        ),
+        pa.table({"item_id": pa.array(item_info["item_id"]), "item_emb_d128": emb_list}),
         info_path,
     )
     paths["item_info"] = info_path
