@@ -37,11 +37,23 @@ class ItemStore:
         emb_col: str = "item_emb_d128",
         max_item_id: int | None = None,
     ) -> "ItemStore":
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         table = pq.read_table(path, columns=[id_col, emb_col])
         ids = table.column(id_col).to_numpy()
-        emb_list = table.column(emb_col).to_pylist()
+        col = table.column(emb_col)
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if isinstance(arr, (pa.ListArray, pa.LargeListArray)) and arr.null_count == 0:
+            # zero-copy path over the raw list buffers (fixed-width vectors)
+            offsets = np.asarray(arr.offsets, dtype=np.int64)
+            widths = np.diff(offsets)
+            if len(widths) and (widths == widths[0]).all():
+                vecs = np.asarray(arr.values, dtype=np.float32).reshape(
+                    len(ids), int(widths[0])
+                )
+                return cls.from_arrays(ids, vecs, max_item_id=max_item_id)
+        emb_list = arr.to_pylist()
         dim = len(emb_list[0])
         vecs = np.asarray(emb_list, dtype=np.float32).reshape(len(ids), dim)
         return cls.from_arrays(ids, vecs, max_item_id=max_item_id)
