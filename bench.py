@@ -42,12 +42,14 @@ def main() -> None:
     rng = np.random.default_rng(0)
     eval_bs = 8192
 
-    @jax.jit
+    # the real serving path: BatchNorm-folded tower + fused Pallas scoring
+    # kernel when on TPU (inference/predictor.py)
+    from ctr_recommendation_tpu.inference import Predictor
+
+    pred = Predictor(exp, params, state, fold_bn=True)
+
     def score(params, state, batch):
-        logits, _ = module.apply(
-            params, state, fm, cfg, batch, train=False, compute_dtype=jnp.bfloat16
-        )
-        return jax.nn.sigmoid(logits)
+        return pred._score(pred.params, pred.model_state, pred._mm_tables, batch)
 
     batch = _fake_batch(rng, eval_bs, 91718, 20, 128, with_label=False)
     batch = jax.device_put(batch)
