@@ -40,6 +40,11 @@ def init(key: jax.Array, num_fields: int, layer_units: Sequence[int]) -> dict:
     from ctr_recommendation_tpu.ops.initializers import linear_init
 
     params["out"] = linear_init(keys[-1], sum(layer_units), 1)
+    # zero-init the auxiliary logit head: the model starts as pure DNN and
+    # grows the CIN contribution (avoids the epoch-1 loss spike a hot
+    # second head causes; weight grads are nonzero so it trains normally)
+    params["out"]["w"] = params["out"]["w"] * 0.0
+    params["out"]["b"] = params["out"]["b"] * 0.0
     return params
 
 
