@@ -20,15 +20,22 @@ import numpy as np
 from ctr_recommendation_tpu.utils import compilation_cache
 
 
+def _value_read(x):
+    """Honest completion barrier: block_until_ready can return early through
+    this environment's remote tunnel; a device->host value read cannot."""
+    leaf = jax.tree.leaves(x)[0]
+    return float(leaf.ravel()[0])
+
+
 def timeit(fn, *args, iters=30, warmup=3):
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    times = []
+        _value_read(fn(*args))
+    t0 = time.perf_counter()
+    out = None
     for _ in range(iters):
-        t = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        times.append(time.perf_counter() - t)
-    return float(np.median(times))
+        out = fn(*args)
+    _value_read(out)  # device programs serialize; last read bounds them all
+    return (time.perf_counter() - t0) / iters
 
 
 def main() -> None:
