@@ -56,18 +56,42 @@ def main() -> None:
     # warmup / compile (device->host value read = honest completion barrier)
     float(score(params, state, batch)[0])
 
-    # --- scoring throughput + latency ---
-    # dispatch n_iters programs then read one output value: single-core TPU
-    # programs execute in order, so the final read bounds them all.
-    n_iters = 50
+    # --- single-batch dispatch latency (includes host->device round trip;
+    # through this environment's tunnel that round trip dominates) ---
+    n_lat = 10
     t0 = time.perf_counter()
-    out = None
-    for _ in range(n_iters):
-        out = score(params, state, batch)
-    float(out[0])
-    dt = time.perf_counter() - t0
-    infer_rows_per_sec = n_iters * eval_bs / dt
-    p50_ms = dt / n_iters * 1e3  # mean per-batch latency
+    for _ in range(n_lat):
+        float(score(params, state, batch)[0])
+    p50_ms = (time.perf_counter() - t0) / n_lat * 1e3
+
+    # --- bulk scoring throughput: the reference's exact workload shape
+    # (47x8192-row batches, Prediction.py:97) scored as ONE device program
+    # (a lax.scan over batches — the framework's real batch-eval path) ---
+    n_batches = 47
+    big = _fake_batch(rng, eval_bs * n_batches, 91718, 20, 128, with_label=False)
+    big = jax.device_put(big)
+
+    @jax.jit
+    def score_all(params, state, data):
+        def body(_, i):
+            b = {
+                k: jax.lax.dynamic_slice_in_dim(v, i * eval_bs, eval_bs)
+                for k, v in data.items()
+            }
+            return None, score(params, state, b)
+
+        _, probs = jax.lax.scan(
+            body, None, jnp.arange(n_batches, dtype=jnp.int32)
+        )
+        return probs.reshape(-1)
+
+    float(score_all(params, state, big)[0])  # compile
+    reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(score_all(params, state, big)[0])
+        reps.append(time.perf_counter() - t0)
+    infer_rows_per_sec = eval_bs * n_batches / float(np.median(reps))
 
     # --- e2e train throughput: on-device epoch scan over distinct batches ---
     train_bs = 4096
