@@ -19,7 +19,13 @@ import jax
 
 from ctr_recommendation_tpu.config.schema import ModelConfig
 from ctr_recommendation_tpu.features.feature_map import FeatureMap
-from ctr_recommendation_tpu.models import fibinet, finalmlp, sasrec_fibinet, xdeepfm
+from ctr_recommendation_tpu.models import (
+    dcnv2,
+    fibinet,
+    finalmlp,
+    sasrec_fibinet,
+    xdeepfm,
+)
 
 _REGISTRY: dict[str, types.ModuleType] = {}
 
@@ -44,6 +50,7 @@ register("mm_fibinet", fibinet)
 register("xdeepfm", xdeepfm)
 register("finalmlp", finalmlp)
 register("sasrec_fibinet", sasrec_fibinet)
+register("dcnv2", dcnv2)
 
 
 def build_model(

@@ -10,7 +10,9 @@ import pytest
 from ctr_recommendation_tpu.models import available_models, build_model, get_model
 
 
-@pytest.mark.parametrize("name", ["mm_fibinet", "xdeepfm", "finalmlp", "sasrec_fibinet"])
+@pytest.mark.parametrize(
+    "name", ["mm_fibinet", "xdeepfm", "finalmlp", "sasrec_fibinet", "dcnv2"]
+)
 def test_forward_shapes_and_grad(name, tiny_experiment, tiny_feature_map, tiny_batch):
     cfg = dataclasses.replace(tiny_experiment.model, model=name)
     module, params, state = build_model(tiny_feature_map, cfg, jax.random.key(0))
