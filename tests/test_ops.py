@@ -163,3 +163,15 @@ def test_pallas_interaction_parity(btype):
     g_got = jax.grad(loss_fused, argnums=(0, 1, 2))(sp, bp, x)
     for a, b_ in zip(jax.tree.leaves(g_got), jax.tree.leaves(g_want)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-4)
+
+
+def test_crossnet_matches_naive_loop():
+    from ctr_recommendation_tpu.ops import crossnet
+
+    x0 = jax.random.normal(jax.random.key(0), (8, 24))
+    params = crossnet.init(jax.random.key(1), 24, num_layers=3)
+    got = crossnet.apply(params, x0)
+    x = x0
+    for layer in params["layers"]:
+        x = x0 * (x @ layer["w"] + layer["b"]) + x
+    np.testing.assert_allclose(np.asarray(got), np.asarray(x), rtol=1e-5, atol=1e-6)
