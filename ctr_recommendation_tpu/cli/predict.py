@@ -58,7 +58,11 @@ def main(argv=None) -> int:
     fm = build_feature_map(exp.dataset)
 
     test = load_split(exp.dataset.test_data, fm, include_label=False)
-    store = ItemStore.from_parquet(exp.dataset.item_info)
+    store = ItemStore.from_parquet(
+        exp.dataset.item_info,
+        id_col=exp.dataset.item_info_key,
+        emb_col=exp.dataset.item_info_emb_col,
+    )
     print(f"[data] test {test.num_rows} rows")
 
     trainer = Trainer(exp, steps_per_epoch=1, log_fn=print)

@@ -41,13 +41,21 @@ def _load():
         if _tried:
             return _lib
         _tried = True
-        path = _LIB_PATH if os.path.exists(_LIB_PATH) else _build()
-        if path is None:
-            return None
-        try:
-            lib = ctypes.CDLL(path)
-        except OSError:
-            return None
+        # The .so is a local build artifact (never committed — see .gitignore);
+        # a stale or wrong-arch cache is rebuilt from source rather than trusted.
+        lib = None
+        if os.path.exists(_LIB_PATH):
+            try:
+                lib = ctypes.CDLL(_LIB_PATH)
+            except OSError:
+                lib = None
+        if lib is None:
+            if _build() is None:
+                return None
+            try:
+                lib = ctypes.CDLL(_LIB_PATH)
+            except OSError:
+                return None
         lib.pad_sequences_i64.argtypes = [
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64),

@@ -58,7 +58,7 @@ def apply(
     )
     h = senet_bilinear_concat(
         params["senet"], params["bilinear"], x,
-        bilinear_type=cfg.bilinear_type, use_pallas=cfg.use_pallas,
+        bilinear_type=cfg.bilinear_type, use_pallas=cfg.use_pallas, train=train,
     )
     rng_mlp = None if rng is None else jax.random.fold_in(rng, 1)
     td = jnp.float32 if cfg.tower_dtype == "float32" else compute_dtype

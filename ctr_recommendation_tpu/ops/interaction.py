@@ -38,8 +38,15 @@ def senet_bilinear_concat(
     *,
     bilinear_type: str = "all",
     use_pallas: bool = False,
+    train: bool = False,
 ) -> jax.Array:
-    if use_pallas:
+    # The Pallas kernel is a serving-path win (one HBM read of X); its VJP
+    # delegates to the jnp reference, which RECOMPUTES the forward — so under
+    # value_and_grad the kernel would make training do the interaction forward
+    # twice per step for no measured fwd win (PERFORMANCE.md microbench:
+    # 1.00x vs XLA at bs 4096). Training therefore always takes the jnp path,
+    # which XLA fuses once through fwd+bwd.
+    if use_pallas and not train:
         from ctr_recommendation_tpu.ops.pallas.interaction import (
             fused_senet_bilinear_concat,
         )

@@ -53,14 +53,25 @@ class CheckpointManager:
         return restored["state"]
 
     def save_best(self, params: Any, model_state: Any, metric: float, step: int) -> None:
-        """Best-metric export for serving (reference: FiBiNET_best.pth)."""
-        path = os.path.join(self._best_dir, "export")
-        if os.path.exists(path):
-            import shutil
+        """Best-metric export for serving (reference: FiBiNET_best.pth).
 
-            shutil.rmtree(path)
+        Crash-safe: the new export is written to a sibling temp directory and
+        swapped in with atomic renames, so a preemption mid-save never loses
+        the previous best (the serving artifact). A small JSON sidecar records
+        the metric so a resumed run seeds its best-tracker from it instead of
+        -inf (which would let a worse post-resume epoch overwrite the best).
+        """
+        import json
+        import shutil
+
+        path = os.path.join(self._best_dir, "export")
+        tmp = path + ".tmp"
+        old = path + ".old"
+        for stale in (tmp, old):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
         self._best_ckpt.save(
-            path,
+            tmp,
             {
                 "params": params,
                 "model_state": model_state,
@@ -69,9 +80,34 @@ class CheckpointManager:
             },
         )
         self._best_ckpt.wait_until_finished()
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+        meta = os.path.join(self._best_dir, "metric.json")
+        with open(meta + ".tmp", "w") as f:
+            json.dump({"metric": float(metric), "step": int(step)}, f)
+        os.replace(meta + ".tmp", meta)
+
+    def best_metric(self) -> float | None:
+        """Monitored metric of the current best export (None if no export)."""
+        import json
+
+        meta = os.path.join(self._best_dir, "metric.json")
+        try:
+            with open(meta) as f:
+                return float(json.load(f)["metric"])
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def _best_export_path(self) -> str:
+        path = os.path.join(self._best_dir, "export")
+        if not os.path.exists(path) and os.path.exists(path + ".old"):
+            return path + ".old"  # crashed between renames; previous best intact
+        return path
 
     def restore_best(self, params_target: Any, state_target: Any) -> tuple[Any, Any]:
-        path = os.path.join(self._best_dir, "export")
+        path = self._best_export_path()
         restored = self._best_ckpt.restore(
             path,
             target={

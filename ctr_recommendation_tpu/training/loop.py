@@ -265,6 +265,18 @@ class Trainer:
     def put_batch(self, batch: dict[str, np.ndarray]) -> dict[str, jax.Array]:
         return jax.device_put(batch, self._batch_sharding)
 
+    def _seed_best(self, best: float) -> float:
+        """On resume, continue the best-tracker from the persisted export's
+        metric so a worse post-resume epoch cannot overwrite the best export."""
+        persisted = self.ckpt.best_metric()
+        if persisted is None:
+            return best
+        tc = self.exp.train
+        better = max if tc.monitor_mode == "max" else min
+        seeded = better(best, persisted)
+        self.log(f"[resume] best {tc.monitor} so far: {persisted:.4f}")
+        return seeded
+
     # ------------------------------------------------------------------ train
     def fit(
         self,
@@ -286,28 +298,35 @@ class Trainer:
                 self.state = jax.device_put(restored, self._state_shardings)
                 start_epoch = int(latest)
                 self.log(f"[resume] epoch {start_epoch} step {int(self.state.step)}")
+            best = self._seed_best(best)
 
         from ctr_recommendation_tpu.data.prefetch import prefetch
 
         for epoch in range(start_epoch, tc.epochs):
             self._epoch = epoch
             t0 = time.time()
-            n_steps, loss_sum, rows = 0, 0.0, 0
+            n_steps, rows = 0, 0
+            # Loss accumulates ON DEVICE: a per-step float(...) readback would
+            # block the host on every step and serialize dispatch with
+            # execution (measured ~10x slowdown vs the on-device epoch scan);
+            # the only D2H reads are at log_every and epoch end.
+            loss_sum = None
             batches = prefetch(iter(train_batches(epoch)), transform=self.put_batch)
             for batch in batches:
                 bsz = len(next(iter(batch.values())))
                 self.state, m = self._train_step(self.state, batch, rng)
                 n_steps += 1
                 rows += bsz
+                loss_sum = m["loss"] if loss_sum is None else loss_sum + m["loss"]
                 if n_steps % tc.log_every == 0:
                     loss_v = float(m["loss"])
                     lr = float(self.schedule(int(self.state.step) - 1))
                     self.log(
                         f"[epoch {epoch + 1}] step {n_steps} loss {loss_v:.4f} lr {lr:.6f}"
                     )
-                loss_sum += float(m["loss"])
+            # one honest D2H value read closes the epoch (and the timer)
+            train_loss = float(loss_sum) / n_steps if n_steps else 0.0
             dt = time.time() - t0
-            train_loss = loss_sum / max(n_steps, 1)
             entry: dict[str, float] = {
                 "epoch": epoch + 1,
                 "train_loss": train_loss,
@@ -427,6 +446,7 @@ class Trainer:
                 self.state = jax.device_put(restored, self._state_shardings)
                 start_epoch = int(latest)
                 self.log(f"[resume] epoch {start_epoch} step {int(self.state.step)}")
+            best = self._seed_best(best)
 
         for epoch in range(start_epoch, tc.epochs):
             t0 = time.time()
