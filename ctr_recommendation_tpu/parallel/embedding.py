@@ -1,18 +1,37 @@
 """Row-sharded embedding lookup over the device mesh.
 
 The centerpiece of the distributed design (SURVEY §2.3 "Embedding-table
-parallel" row): tables live row-sharded P(model, None) across the mesh; a
-lookup for ids sharded P(data) runs under ``shard_map`` as
+parallel" row; BASELINE.json north star: "row-sharded across a multi-host TPU
+mesh with all-to-all gather of looked-up rows"). Tables live row-sharded
+P(model, None) across the mesh; lookups for ids sharded P(data) run under
+``shard_map`` with one of two exchange strategies:
 
-    mask-gather-psum:  each model shard gathers the rows it owns (others
-    contribute zeros) and a ``psum`` over the model axis assembles full rows.
+``all_to_all`` (default) — capacity-bucketed id routing:
+    1. sort the local flat ids by owner shard (owner = id // rows_per);
+    2. pack them into a static (mp, cap) send buffer,
+       cap = ceil(capacity_factor * n / mp);
+    3. ``lax.all_to_all`` the id buffer over the model axis, so each shard
+       receives exactly the ids it owns;
+    4. local gather from the shard's (rows_per, E) slice;
+    5. ``lax.all_to_all`` the gathered rows back and unpermute.
+    Per device this moves ~capacity_factor * n * E floats point-to-point
+    (one way) instead of an all-reduce of the full n*E buffer (~2x the
+    bytes), and each shard gathers only the rows it serves instead of
+    every shard re-gathering the whole batch (the ×mp redundancy of the
+    psum strategy). Correctness under skew is guaranteed: bucket overflow
+    beyond cap is detected with a psum'd scalar (identical on every
+    device, so all shards branch together) and only then does a
+    ``lax.cond``-gated mask-gather-psum fallback pay the all-reduce.
 
-Per lookup this moves |B|·E floats over ICI per model shard — for CTR shapes
-(E=128, B≤16k) that is well under ICI bandwidth and much simpler than
-dynamic-bucket all-to-all (which needs static per-shard capacities; a later
-optimization). The backward pass is automatic: the transpose of gather is
-scatter-add into the local shard, and the transpose of psum is identity, so
-sparse gradients land on the owning shard without custom VJPs.
+``psum`` — mask-gather-psum: every shard gathers all n ids (zeros for rows
+    it does not own) and a ``psum`` over the model axis assembles full rows.
+    Simple and latency-optimal for tiny lookups; kept as the overflow
+    fallback and for micro-batches where the sort isn't worth it.
+
+Backward passes are automatic for both: the transpose of gather is
+scatter-add into the owning shard, the transpose of all_to_all is the
+reversed all_to_all, and the transpose of psum is identity — sparse
+gradients land on the owning shard without custom VJPs.
 
 Uneven vocabs: shard_map needs equal local shapes, so tables are padded to a
 multiple of ``VOCAB_ROUND`` rows at init (ctr_recommendation_tpu/models/trunk.py
@@ -36,9 +55,88 @@ except ImportError:  # pragma: no cover - older jax
 # degree up to 128 divides them evenly (and it matches the TPU lane width).
 VOCAB_ROUND = 128
 
+# Send-buffer slack over the perfectly-balanced n/mp ids per owner shard.
+# Uniform ids give Binomial(n, 1/mp) bucket counts that concentrate tightly
+# around n/mp (std sqrt(n/mp)), so 1.25x is many sigma of headroom while
+# keeping the row exchange at 1.25*n*E floats one-way — under the ~2*n*E the
+# psum all-reduce moves. Zipf-skewed batches that overflow a bucket are
+# caught by the cond-gated psum fallback (correct, just not faster).
+DEFAULT_CAPACITY_FACTOR = 1.25
+
 
 def round_up_vocab(vocab_size: int, multiple: int = VOCAB_ROUND) -> int:
     return ((vocab_size + multiple - 1) // multiple) * multiple
+
+
+def _psum_lookup_local(tbl, flat_ids, *, rows_per, model_axis):
+    """Mask-gather-psum body (runs inside shard_map): every shard gathers all
+    ids, contributing zeros for rows it does not own; psum assembles rows."""
+    midx = jax.lax.axis_index(model_axis)
+    local = flat_ids - midx * rows_per
+    ok = (local >= 0) & (local < rows_per)
+    rows = tbl[jnp.clip(local, 0, rows_per - 1)]
+    rows = jnp.where(ok[..., None], rows, jnp.zeros((), rows.dtype))
+    return jax.lax.psum(rows, model_axis)
+
+
+def _all_to_all_lookup_local(
+    tbl, flat_ids, *, rows_per, mp, cap, model_axis
+):
+    """Capacity-bucketed all-to-all body (runs inside shard_map).
+
+    flat_ids: (n,) int32 local ids. Returns (n, E) rows.
+    """
+    n = flat_ids.shape[0]
+    # owner = id // rows_per is monotone in id, so sorting by id makes the
+    # buckets contiguous (and leaves duplicates adjacent for a future dedup).
+    order = jnp.argsort(flat_ids)
+    sorted_ids = flat_ids[order]
+    sorted_owner = jnp.clip(sorted_ids // rows_per, 0, mp - 1)
+    # rank of each id within its owner bucket
+    bucket_start = jnp.searchsorted(sorted_owner, jnp.arange(mp, dtype=sorted_owner.dtype))
+    pos = jnp.arange(n) - bucket_start[sorted_owner]
+    fits = pos < cap
+
+    # (mp, cap) send buffer; overflow positions are dropped (handled below)
+    send_ids = jnp.zeros((mp, cap), dtype=flat_ids.dtype)
+    send_ids = send_ids.at[sorted_owner, jnp.where(fits, pos, cap)].set(
+        sorted_ids, mode="drop"
+    )
+    # route ids to their owners: each shard receives the (peer, cap) requests
+    recv_ids = jax.lax.all_to_all(send_ids, model_axis, split_axis=0, concat_axis=0)
+
+    midx = jax.lax.axis_index(model_axis)
+    local = recv_ids - midx * rows_per  # all owned by this shard (or padding)
+    rows = tbl[jnp.clip(local, 0, rows_per - 1)]  # (mp, cap, E)
+    # send the served rows back to their requesters
+    recv_rows = jax.lax.all_to_all(rows, model_axis, split_axis=0, concat_axis=0)
+
+    # unpermute: sorted position k was served by (owner[k], pos[k])
+    out_sorted = recv_rows[sorted_owner, jnp.clip(pos, 0, cap - 1)]  # (n, E)
+
+    # Overflow correctness: if ANY shard overflowed a bucket, all shards
+    # (the psum'd count is identical everywhere) take the psum fallback for
+    # the overflowed ids. Cold path — costs nothing when buckets fit.
+    total_overflow = jax.lax.psum(jnp.sum(~fits), model_axis)
+
+    def _with_fallback(args):
+        out_sorted, sorted_ids, fits = args
+        fb = _psum_lookup_local(
+            tbl,
+            jnp.where(fits, jnp.zeros((), sorted_ids.dtype), sorted_ids),
+            rows_per=rows_per,
+            model_axis=model_axis,
+        )
+        return jnp.where(fits[..., None], out_sorted, fb)
+
+    out_sorted = jax.lax.cond(
+        total_overflow > 0,
+        _with_fallback,
+        lambda args: jnp.where(args[2][..., None], args[0], jnp.zeros((), args[0].dtype)),
+        (out_sorted, sorted_ids, fits),
+    )
+    inv = jnp.argsort(order)
+    return out_sorted[inv]
 
 
 def sharded_lookup(
@@ -48,6 +146,8 @@ def sharded_lookup(
     *,
     model_axis: str = "model",
     data_axis: str = "data",
+    method: str = "all_to_all",
+    capacity_factor: float = DEFAULT_CAPACITY_FACTOR,
 ) -> jax.Array:
     """table (V, E) sharded P(model, None); ids (B, ...) sharded P(data).
     Returns rows (B, ..., E) sharded P(data)."""
@@ -72,22 +172,44 @@ def sharded_lookup(
         check_vma=False,
     )
     def _lookup(tbl, ids_):
-        midx = jax.lax.axis_index(model_axis)
-        local = ids_ - midx * rows_per
-        ok = (local >= 0) & (local < rows_per)
-        rows = tbl[jnp.clip(local, 0, rows_per - 1)]
-        rows = jnp.where(ok[..., None], rows, jnp.zeros((), rows.dtype))
-        return jax.lax.psum(rows, model_axis)
+        shape = ids_.shape
+        flat = ids_.reshape(-1).astype(jnp.int32)
+        if method == "psum":
+            rows = _psum_lookup_local(
+                tbl, flat, rows_per=rows_per, model_axis=model_axis
+            )
+        elif method == "all_to_all":
+            n = flat.shape[0]
+            cap = max(1, -(-int(capacity_factor * n) // mp))
+            rows = _all_to_all_lookup_local(
+                tbl, flat, rows_per=rows_per, mp=mp, cap=cap, model_axis=model_axis
+            )
+        else:
+            raise ValueError(f"unknown lookup method {method!r}")
+        return rows.reshape(*shape, -1)
 
     return _lookup(table, ids)
 
 
-def make_sharded_lookup(mesh: Mesh, model_axis: str = "model", data_axis: str = "data"):
+def make_sharded_lookup(
+    mesh: Mesh,
+    model_axis: str = "model",
+    data_axis: str = "data",
+    *,
+    method: str = "all_to_all",
+    capacity_factor: float = DEFAULT_CAPACITY_FACTOR,
+):
     """A ``lookup(tables, name, ids)`` closure for models.trunk.apply."""
 
     def lookup(tables: dict, name: str, ids: jax.Array) -> jax.Array:
         return sharded_lookup(
-            tables[name], ids, mesh, model_axis=model_axis, data_axis=data_axis
+            tables[name],
+            ids,
+            mesh,
+            model_axis=model_axis,
+            data_axis=data_axis,
+            method=method,
+            capacity_factor=capacity_factor,
         )
 
     return lookup
