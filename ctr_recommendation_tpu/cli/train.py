@@ -21,6 +21,10 @@ import sys
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Train a CTR model on TPU")
     p.add_argument("--config", help="reference-compatible YAML config")
+    p.add_argument("--logged-run-parity", action="store_true",
+                   help="apply the reference CODE's hardcoded values (Adam, "
+                        "bilinear 'all', dropout 0.2) over dead YAML keys, "
+                        "reproducing the logged 0.9315-AUC run")
     p.add_argument("--expid", help="experiment id in the YAML")
     p.add_argument("--data-root", help="directory with train/valid/test/item_info parquet")
     p.add_argument("--synthetic", metavar="DIR",
@@ -35,6 +39,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--embedding-dim", type=int, default=None)
     p.add_argument("--learning-rate", type=float, default=None)
     p.add_argument("--optimizer", default=None)
+    p.add_argument("--table-optimizer", default=None,
+                   help="embedding-table update strategy: dense (reference "
+                        "semantics) | adagrad | rowwise_adagrad | adam "
+                        "(touched-rows-only sparse updates)")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--model-parallel", type=int, default=1)
@@ -61,7 +69,7 @@ def main(argv=None) -> int:
 
     overrides = {}
     for k in ("epochs", "batch_size", "embedding_dim", "learning_rate", "optimizer",
-              "checkpoint_dir"):
+              "table_optimizer", "checkpoint_dir"):
         v = getattr(args, k)
         if v is not None:
             overrides[k] = v
@@ -93,7 +101,10 @@ def main(argv=None) -> int:
             )
         )
     elif args.config:
-        exp = load_experiment(args.config, expid=args.expid, data_root=args.data_root)
+        exp = load_experiment(
+            args.config, expid=args.expid, data_root=args.data_root,
+            logged_run_parity=args.logged_run_parity,
+        )
         if args.model:
             exp = exp.replace(model=dataclasses.replace(exp.model, model=args.model))
         for k, v in overrides.items():
@@ -148,7 +159,15 @@ def run_training(
     print(f"[data] train {train_rows} rows, valid {valid.num_rows} rows")
 
     mesh = make_mesh(exp.mesh)
-    lookup = make_sharded_lookup(mesh) if exp.mesh.model_parallel > 1 else None
+    # sparse table updates replace the lookup with their dedup row gather;
+    # with mp>1 the row exchange is then left to GSPMD instead of the
+    # explicit all-to-all lookup
+    sparse_tables = exp.train.table_optimizer != "dense"
+    lookup = (
+        make_sharded_lookup(mesh)
+        if exp.mesh.model_parallel > 1 and not sparse_tables
+        else None
+    )
     spe = max(train_rows // bs, 1)
     # Default: item join happens ON DEVICE inside the jitted step (batches
     # carry only ids). strict mode needs the host-side check, so it keeps

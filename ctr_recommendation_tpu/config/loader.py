@@ -38,6 +38,26 @@ _MICROLENS_FEATURE_OVERRIDES: dict[str, dict[str, Any]] = {
     "item_emb_d128": {"type": "dense_embedding", "dense_dim": 128},
 }
 
+# The reference's forward pass stacks fields in this order —
+# [User, Like, View, ItemID, ItemImage, Hist] (model_fibinet.py:180-182) —
+# NOT the feature_cols order of its YAML (which lists item_seq second).
+# When the parsed features are exactly the MicroLens set, reorder to match
+# the model; a YAML may also declare an explicit ``field_order`` list.
+_MICROLENS_FIELD_ORDER = (
+    "user_id", "likes_level", "views_level", "item_id", "item_emb_d128", "item_seq",
+)
+
+# YAML keys the reference's CODE ignores, with the hardcoded values that
+# produced the logged 0.9315-AUC run (SURVEY §5.6): bilinear_type "each"
+# (yaml:57) vs "all" (model_fibinet.py:118); optimizer adamw (yaml:62) vs
+# torch.optim.Adam (train_fibinet.py:78); net_dropout 0.25 (yaml:64) vs 0.2
+# (model_fibinet.py:129,133).
+_REFERENCE_CODE_WINS = {
+    "bilinear_type": "all",
+    "optimizer": "adam",
+    "net_dropout": 0.2,
+}
+
 _TYPE_ALIASES = {
     "categorical": FeatureType.CATEGORICAL,
     "sequence": FeatureType.SEQUENCE,
@@ -70,12 +90,46 @@ def _parse_feature(col: Mapping[str, Any], max_len: int | None) -> FeatureSpec |
     )
 
 
+def _canonical_field_order(
+    features: tuple[FeatureSpec, ...], explicit: list[str] | None
+) -> tuple[FeatureSpec, ...]:
+    """Reorder parsed features to the model's field-stack order.
+
+    Priority: an explicit YAML ``field_order`` list; else, if the feature
+    names are exactly the MicroLens set, the reference stack order
+    (model_fibinet.py:180-182); else YAML order as written."""
+    order = explicit
+    if order is None and {f.name for f in features} == set(_MICROLENS_FIELD_ORDER):
+        order = list(_MICROLENS_FIELD_ORDER)
+    if order is None:
+        return features
+    by_name = {f.name: f for f in features}
+    missing = [n for n in order if n not in by_name]
+    if missing:
+        raise ValueError(f"field_order names unknown features: {missing}")
+    tail = [f for f in features if f.name not in set(order)]
+    return tuple(by_name[n] for n in order) + tuple(tail)
+
+
 def load_experiment(
     path: str,
     expid: str | None = None,
     data_root: str | None = None,
+    *,
+    logged_run_parity: bool = False,
+    warn: Any = None,
 ) -> ExperimentConfig:
-    """Load an experiment from a (reference-compatible) YAML file."""
+    """Load an experiment from a (reference-compatible) YAML file.
+
+    ``logged_run_parity=True`` applies the reference's code-wins values
+    (Adam / bilinear "all" / dropout 0.2 — see ``_REFERENCE_CODE_WINS``)
+    over the YAML's dead declarations, reproducing the logged 0.9315-AUC
+    run exactly; the default honors the YAML as written but warns about
+    each known yaml-vs-code conflict being honored.
+    """
+    import warnings
+
+    warn = warn or (lambda msg: warnings.warn(msg, stacklevel=3))
     with open(path) as f:
         cfg = yaml.safe_load(f)
 
@@ -83,6 +137,25 @@ def load_experiment(
     exp_raw: dict[str, Any] = dict(cfg.get(expid, {}))
     dataset_id = exp_raw.get("dataset_id", cfg.get("dataset_id"))
     ds_raw: dict[str, Any] = dict(cfg["dataset_config"][dataset_id])
+
+    if str(exp_raw.get("model", "")).lower() in ("mm_fibinet", "fibinet"):
+        conflicts = {
+            k: (exp_raw[k], v)
+            for k, v in _REFERENCE_CODE_WINS.items()
+            if k in exp_raw and str(exp_raw[k]).lower() != str(v).lower()
+        }
+        if logged_run_parity:
+            exp_raw.update(_REFERENCE_CODE_WINS)
+        elif conflicts:
+            detail = ", ".join(
+                f"{k}={y!r} (reference code hardcodes {c!r})"
+                for k, (y, c) in conflicts.items()
+            )
+            warn(
+                "honoring YAML values the reference code ignores: "
+                f"{detail}; pass logged_run_parity=True (--logged-run-parity) "
+                "to reproduce the logged run"
+            )
 
     base_raw = dict(cfg.get("base_config", {}))
     # base_config keys the reference declares; honor seed + save_best_only.
@@ -96,6 +169,7 @@ def load_experiment(
         for col in ds_raw.get("feature_cols", [])
         if (f := _parse_feature(col, max_len)) is not None
     )
+    features = _canonical_field_order(features, ds_raw.get("field_order"))
     label_col = ds_raw.get("label_col", {"name": "label"})
 
     def _resolve(p: str) -> str:

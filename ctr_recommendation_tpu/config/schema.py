@@ -145,6 +145,11 @@ class TrainConfig:
     # torch.optim.Adam in the reference code (train_fibinet.py:78) despite
     # "adamw" in its YAML; both supported, "adam" reproduces the logged run.
     optimizer: str = "adam"  # "adam" | "adamw" | "adagrad"
+    # Embedding-table update strategy: "dense" runs the tables through the
+    # same optax chain as everything else (reference semantics); the sparse
+    # kinds update only the rows a batch touched (training/sparse.py) —
+    # O(batch ids) instead of O(vocab) HBM traffic per step.
+    table_optimizer: str = "dense"  # | "adagrad" | "rowwise_adagrad" | "adam"
     learning_rate: float = 1e-3
     weight_decay: float = 1e-5
     # OneCycleLR max_lr = onecycle_peak_factor * learning_rate
@@ -237,6 +242,7 @@ def train_config_from_dict(d: Mapping[str, Any]) -> TrainConfig:
         batch_size=int(d.get("batch_size", base.batch_size)),
         epochs=int(d.get("epochs", base.epochs)),
         optimizer=str(d.get("optimizer", base.optimizer)).lower(),
+        table_optimizer=str(d.get("table_optimizer", base.table_optimizer)).lower(),
         learning_rate=float(d.get("learning_rate", base.learning_rate)),
         weight_decay=float(d.get("weight_decay", base.weight_decay)),
         lr_schedule=str(d.get("lr_schedule", base.lr_schedule)).lower(),

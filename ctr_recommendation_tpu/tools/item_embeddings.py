@@ -22,11 +22,42 @@ output is re-L2-normalized as in cell 5.
 
 from __future__ import annotations
 
+import glob as glob_mod
 import hashlib
+import os
 import re
 from typing import Iterable, Protocol, Sequence
 
 import numpy as np
+
+
+# -------------------------------------------------------------------- images
+IMAGE_EXTENSIONS = ("jpg", "png", "jpeg", "webp")
+
+
+def find_image_path(images_dir: str, item_id) -> str | None:
+    """Resolve an item's raw image file: probe the common extensions in
+    order, then fall back to a glob; None when nothing matches
+    (task-1.ipynb cell 3 ``find_image_path``)."""
+    for ext in IMAGE_EXTENSIONS:
+        p = os.path.join(images_dir, f"{item_id}.{ext}")
+        if os.path.exists(p):
+            return p
+    cand = glob_mod.glob(os.path.join(images_dir, f"{item_id}.*"))
+    return cand[0] if cand else None
+
+
+def load_image(path: str | None):
+    """PIL RGB image; a black 224x224 placeholder for missing/unreadable
+    files (cell 4 fallback: ``Image.fromarray(zeros((224,224,3)))``)."""
+    from PIL import Image
+
+    if path is not None:
+        try:
+            return Image.open(path).convert("RGB")
+        except OSError:
+            pass
+    return Image.fromarray(np.zeros((224, 224, 3), dtype=np.uint8)).convert("RGB")
 
 
 # --------------------------------------------------------------------- text
@@ -69,7 +100,7 @@ def build_text(title, tags, likes_level, views_level) -> str:
 class Encoder(Protocol):
     dim: int
 
-    def encode(self, texts: Sequence[str]) -> np.ndarray: ...
+    def encode(self, texts: Sequence[str], images=None) -> np.ndarray: ...
 
 
 class HashTextEncoder:
@@ -86,7 +117,7 @@ class HashTextEncoder:
             for i in range(len(words) - n + 1):
                 yield " ".join(words[i : i + n])
 
-    def encode(self, texts: Sequence[str]) -> np.ndarray:
+    def encode(self, texts: Sequence[str], images=None) -> np.ndarray:
         out = np.zeros((len(texts), self.dim), dtype=np.float32)
         for r, text in enumerate(texts):
             for tok in self._tokens(text):
@@ -95,6 +126,15 @@ class HashTextEncoder:
                 idx = v % self.dim
                 sign = 1.0 if (v >> 32) & 1 else -1.0
                 out[r, idx] += sign
+            if images is not None and images[r] is not None:
+                # deterministic image signature: hashed coarse color
+                # histogram, so the multimodal plumbing changes the output
+                # the way a real joint encoder would
+                arr = np.asarray(images[r].convert("RGB").resize((16, 16)))
+                hist = arr.reshape(-1, 3).mean(axis=0).astype(np.int64) // 16
+                h = hashlib.blake2b(hist.tobytes(), digest_size=8).digest()
+                v = int.from_bytes(h, "little")
+                out[r, v % self.dim] += 2.0 if (v >> 32) & 1 else -2.0
         norms = np.linalg.norm(out, axis=1, keepdims=True)
         return out / np.maximum(norms, 1e-8)
 
@@ -160,10 +200,18 @@ def generate_item_embeddings(
     n_components: int = 128,
     title_col: str = "item_title",
     tags_col: str = "item_tags",
+    id_col: str = "item_id",
+    image_dir: str | None = None,
 ) -> int:
     """item_feature parquet -> item_info parquet with refreshed
     ``item_emb_d128`` (list of n_components floats, L2-normed; zeros for
-    items whose text is empty). Returns the number of items written."""
+    items whose text is empty). Returns the number of items written.
+
+    ``image_dir``: directory of raw item images named ``{item_id}.{ext}``;
+    each item's image is resolved by extension probe + glob (cell 3), loaded
+    as RGB with a black 224x224 placeholder for missing files (cell 4), and
+    fed to the encoder jointly with the text — the reference's full
+    image+text ViLT path."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -176,8 +224,14 @@ def generate_item_embeddings(
     views = cols.get("views_level", [0] * n)
 
     texts = [build_text(t, g, l, v) for t, g, l, v in zip(titles, tags, likes, views)]
+    images = None
+    if image_dir is not None:
+        item_ids = cols.get(id_col, list(range(n)))
+        images = [
+            load_image(find_image_path(image_dir, item_id)) for item_id in item_ids
+        ]
     encoder = encoder or HashTextEncoder()
-    raw = encoder.encode(texts)
+    raw = encoder.encode(texts, images) if images is not None else encoder.encode(texts)
     k = min(n_components, *raw.shape)
     emb = pca_project(raw, k)
     if k < n_components:  # tiny inputs: zero-pad to the contract width

@@ -66,7 +66,19 @@ class Trainer:
             spe = steps_per_epoch or 1000
             total_steps = spe * tc.epochs
         self.total_steps = total_steps
-        self.tx, self.schedule = make_optimizer(tc, total_steps)
+        from ctr_recommendation_tpu.training.sparse import make_table_optimizer
+
+        sparse_tables = tc.table_optimizer != "dense"
+        self.tx, self.schedule = make_optimizer(
+            tc, total_steps, sparse_tables=sparse_tables
+        )
+        self.table_opt = make_table_optimizer(tc, self.schedule)
+        if self.table_opt is not None and lookup is not None:
+            raise ValueError(
+                "table_optimizer != 'dense' replaces the embedding lookup with "
+                "its deduplicated row gather; an injected sharded lookup cannot "
+                "be combined with it (row exchange is left to GSPMD)"
+            )
 
         self.ckpt = CheckpointManager(
             checkpoint_dir or tc.checkpoint_dir, max_to_keep=tc.keep_checkpoints
@@ -116,7 +128,12 @@ class Trainer:
         )
         params = jax.device_put(params, self._param_shardings)
         model_state = jax.device_put(model_state, self._repl_sharding)
-        self.state = TrainState.create(params, model_state, self.tx)
+        table_opt_state = (
+            self.table_opt.init(params["trunk"]["tables"])
+            if self.table_opt is not None
+            else {}
+        )
+        self.state = TrainState.create(params, model_state, self.tx, table_opt_state)
         # Place the FULL train state on the mesh: params by their specs,
         # optimizer moments like the params they mirror (so sharded tables
         # get sharded Adam state), scalars/stats replicated. The same
@@ -125,11 +142,17 @@ class Trainer:
         from ctr_recommendation_tpu.parallel.sharding import opt_state_specs
 
         ospecs = opt_state_specs(self.state.opt_state, pspecs, params)
+        shard_tables = self.mesh.shape[ma] > 1
+        tspecs = jax.tree.map(
+            lambda a: P(ma, None) if (shard_tables and a.ndim == 2) else P(),
+            table_opt_state,
+        )
         spec_state = TrainState(
             step=P(),
             params=pspecs,
             model_state=jax.tree.map(lambda _: P(), model_state),
             opt_state=ospecs,
+            table_opt_state=tspecs,
         )
         self._state_shardings = jax.tree.map(
             lambda s: NamedSharding(self.mesh, s),
@@ -174,6 +197,9 @@ class Trainer:
         feats = self._device_join(feats, mm_tables)
         step_rng = jax.random.fold_in(rng, state.step)
 
+        if self.table_opt is not None:
+            return self._sparse_step_impl(state, feats, labels, weight, step_rng)
+
         def loss_fn(params):
             logits, new_mstate = module.apply(
                 params, state.model_state, fm, cfg, feats,
@@ -192,6 +218,65 @@ class Trainer:
             params=new_params,
             model_state=new_mstate,
             opt_state=new_opt,
+            table_opt_state=state.table_opt_state,
+        )
+        return new_state, {"loss": loss}
+
+    def _sparse_step_impl(self, state: TrainState, feats, labels, weight, step_rng):
+        """Sparse-table step (training/sparse.py): dedup the batch's ids per
+        table, differentiate w.r.t. the GATHERED rows (the tables themselves
+        receive zero grad via the row lookup), clip dense + row grads jointly
+        (reference clips over all parameters, train_fibinet.py:119), then
+        update dense params through the optax chain and only the touched
+        table rows through the TableOptimizer."""
+        from ctr_recommendation_tpu.training import sparse as sparse_lib
+
+        module, fm, cfg = self.module, self.fm, self.exp.model
+        tables = state.params["trunk"]["tables"]
+        table_ids = sparse_lib.batch_table_ids(fm, feats)
+        uids = {
+            name: sparse_lib.dedup_ids(ids, tables[name].shape[0])
+            for name, ids in table_ids.items()
+        }
+        rows = {n: sparse_lib.gather_rows(tables[n], uids[n]) for n in uids}
+
+        def loss_fn(params, rows):
+            lookup = sparse_lib.make_row_lookup(uids, rows)
+            logits, new_mstate = module.apply(
+                params, state.model_state, fm, cfg, feats,
+                train=True, rng=step_rng, compute_dtype=self._compute_dtype,
+                lookup=lookup,
+            )
+            return bce_with_logits(logits, labels, weight), new_mstate
+
+        (loss, new_mstate), (grads, row_grads) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(state.params, rows)
+
+        clip = self.exp.train.grad_clip_norm
+        if clip and clip > 0:
+            # joint global norm; the zero table grads inside `grads`
+            # contribute nothing
+            gnorm = optax.global_norm((grads, row_grads))
+            scale = jnp.minimum(1.0, clip / jnp.maximum(gnorm, 1e-16))
+            grads, row_grads = jax.tree.map(
+                lambda g: g * scale, (grads, row_grads)
+            )
+
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_tables, new_tstate = self.table_opt.update(
+            tables, state.table_opt_state, uids, row_grads, state.step
+        )
+        new_params = dict(new_params)
+        new_params["trunk"] = dict(new_params["trunk"])
+        new_params["trunk"]["tables"] = new_tables
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            model_state=new_mstate,
+            opt_state=new_opt,
+            table_opt_state=new_tstate,
         )
         return new_state, {"loss": loss}
 

@@ -32,11 +32,17 @@ def make_schedule(cfg: TrainConfig, total_steps: int) -> optax.Schedule:
 
 
 def make_optimizer(
-    cfg: TrainConfig, total_steps: int
+    cfg: TrainConfig, total_steps: int, *, sparse_tables: bool = False
 ) -> tuple[optax.GradientTransformation, optax.Schedule]:
+    """sparse_tables=True: the embedding tables are updated by the sparse
+    touched-rows path (training/sparse.py), so this chain (a) allocates no
+    optimizer state for them (multi_transform + set_to_zero) and (b) omits
+    the global-norm clip — the train step clips dense grads and row grads
+    JOINTLY before both updates, preserving the reference's
+    clip-over-all-parameters semantics (train_fibinet.py:119)."""
     schedule = make_schedule(cfg, total_steps)
     parts = []
-    if cfg.grad_clip_norm and cfg.grad_clip_norm > 0:
+    if not sparse_tables and cfg.grad_clip_norm and cfg.grad_clip_norm > 0:
         parts.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
     name = cfg.optimizer
     if name == "adam":
@@ -55,4 +61,23 @@ def make_optimizer(
     else:
         raise ValueError(f"unknown optimizer {name!r}")
     parts.append(optax.scale_by_learning_rate(schedule))
-    return optax.chain(*parts), schedule
+    tx = optax.chain(*parts)
+    if sparse_tables:
+        tx = optax.multi_transform(
+            {"dense": tx, "table": optax.set_to_zero()}, _table_labels
+        )
+    return tx, schedule
+
+
+def _table_labels(params):
+    """Label tree for multi_transform: leaves under a 'tables' key are
+    handled by the sparse path, everything else by the dense chain."""
+    import jax
+
+    def label(path, _leaf):
+        keys = {
+            getattr(p, "key", getattr(p, "name", None)) for p in path
+        }
+        return "table" if "tables" in keys else "dense"
+
+    return jax.tree_util.tree_map_with_path(label, params)

@@ -1,0 +1,190 @@
+"""Sparse (touched-rows-only) embedding-table updates.
+
+The reference — like most torch CTR code — keeps dense ``nn.Embedding``
+tables and lets Adam stream the FULL table + both moment buffers through HBM
+every step (~140 MB/step for the 91718x128 MicroLens table). The TPU-native
+answer (BASELINE.json north star: "sparse optimizer state (AdamW/Adagrad)"):
+
+1. collect every id a batch looks up per table, ``jnp.unique`` them with a
+   static size (the total id count, so jit shapes stay fixed; the tail is
+   filled with ``vocab_rows``, an out-of-range sentinel);
+2. gather only those rows and differentiate with respect to the GATHERED
+   rows — duplicates are segment-summed by the scatter-add transpose of the
+   ``rows[searchsorted(uids, ids)]`` remap, so the row gradient is exactly
+   the dense table gradient restricted to its nonzero rows;
+3. update only the touched rows of the table and of the optimizer state
+   (``.at[uids].add/set`` with mode="drop" so sentinel slots vanish).
+
+HBM traffic per step becomes O(ids * E) instead of O(vocab * E) — the win
+grows with vocab size, which is the regime the north star names (multi-host
+row-sharded tables).
+
+Semantics vs the dense path:
+
+* ``adagrad``  — per-element (V, E) accumulator, exactly optax
+  ``scale_by_rss``: untouched rows have zero grad, so their accumulator and
+  value are bit-identical to the dense path when weight_decay == 0 (tested).
+  With weight_decay > 0, decay is applied lazily (touched rows only) — the
+  standard sparse-optimizer trade.
+* ``rowwise_adagrad`` — (V, 1) accumulator over the row-mean squared grad
+  (the classic TPU embedding-optimizer layout): 128x less optimizer memory;
+  no dense twin.
+* ``adam`` — lazy Adam: (V, E) mu/nu updated at touched rows with
+  global-step bias correction. Identical to dense Adam while every row is
+  touched every step (tested); untouched rows skip their momentum decay.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from ctr_recommendation_tpu.config.schema import TrainConfig
+
+TABLE_OPTIMIZERS = ("adagrad", "rowwise_adagrad", "adam")
+
+
+def dedup_ids(ids: jax.Array, vocab_rows: int) -> jax.Array:
+    """Sorted unique ids with static shape ``ids.size``; the tail is padded
+    with the out-of-range sentinel ``vocab_rows`` (keeps the array sorted, so
+    ``searchsorted`` positions for real ids are exact)."""
+    flat = ids.reshape(-1).astype(jnp.int32)
+    # distinct real ids can't exceed the vocab, so the buffer is capped there
+    # (matters when batch * seq_len >> vocab)
+    return jnp.unique(flat, size=min(flat.size, vocab_rows), fill_value=vocab_rows)
+
+
+def gather_rows(table: jax.Array, uids: jax.Array) -> jax.Array:
+    """Rows for unique ids; sentinel slots gather a clipped row whose value
+    is never used (nothing maps to them) and whose updates are dropped."""
+    return table[jnp.clip(uids, 0, table.shape[0] - 1)]
+
+
+def make_row_lookup(uids: dict[str, jax.Array], rows: dict[str, jax.Array]) -> Callable:
+    """A trunk-compatible ``lookup(tables, name, ids)`` that reads from the
+    gathered row buffers instead of the full tables (the ``tables`` argument
+    is intentionally unused so table params receive zero gradient)."""
+
+    def lookup(tables: dict, name: str, ids: jax.Array) -> jax.Array:
+        del tables
+        return rows[name][jnp.searchsorted(uids[name], ids.astype(jnp.int32))]
+
+    return lookup
+
+
+@dataclasses.dataclass(frozen=True)
+class TableOptimizer:
+    """Touched-rows-only optimizer for the embedding tables."""
+
+    kind: str  # "adagrad" | "rowwise_adagrad" | "adam"
+    schedule: Callable[[jax.Array], jax.Array]
+    weight_decay: float = 0.0
+    # optax parity constants
+    rss_init: float = 0.1
+    rss_eps: float = 1e-10  # matches optim.py scale_by_rss(eps=1e-10) / torch
+    b1: float = 0.9
+    b2: float = 0.999
+    adam_eps: float = 1e-8
+
+    def init(self, tables: dict[str, jax.Array]) -> dict[str, Any]:
+        if self.kind == "adagrad":
+            return {
+                name: {"acc": jnp.full_like(t, self.rss_init)}
+                for name, t in tables.items()
+            }
+        if self.kind == "rowwise_adagrad":
+            return {
+                name: {"acc": jnp.full((t.shape[0], 1), self.rss_init, t.dtype)}
+                for name, t in tables.items()
+            }
+        if self.kind == "adam":
+            return {
+                name: {"mu": jnp.zeros_like(t), "nu": jnp.zeros_like(t)}
+                for name, t in tables.items()
+            }
+        raise ValueError(f"unknown table optimizer {self.kind!r}")
+
+    def update(
+        self,
+        tables: dict[str, jax.Array],
+        tstate: dict[str, Any],
+        uids: dict[str, jax.Array],
+        row_grads: dict[str, jax.Array],
+        step: jax.Array,
+    ) -> tuple[dict[str, jax.Array], dict[str, Any]]:
+        """step = number of completed steps (the schedule/bias-correction
+        count is step + 1, matching optax's safe_increment)."""
+        lr = self.schedule(step)
+        count = (step + 1).astype(jnp.float32)
+        new_tables, new_state = {}, {}
+        for name, table in tables.items():
+            u, g = uids[name], row_grads[name]
+            st = tstate[name]
+            rows = gather_rows(table, u)
+            if self.kind in ("adagrad", "rowwise_adagrad"):
+                acc_rows = gather_rows(st["acc"], u)
+                if self.kind == "rowwise_adagrad":
+                    acc_rows = acc_rows + jnp.mean(g * g, axis=-1, keepdims=True)
+                else:
+                    acc_rows = acc_rows + g * g
+                upd = jnp.where(acc_rows > 0, jax.lax.rsqrt(acc_rows + self.rss_eps), 0.0) * g
+                # dense-chain parity (optim.py "adagrad"): decay is added
+                # AFTER the rss scaling, before the lr scaling
+                if self.weight_decay:
+                    upd = upd + self.weight_decay * rows
+                new_state[name] = {"acc": st["acc"].at[u].set(acc_rows, mode="drop")}
+            elif self.kind == "adam":
+                # dense-chain parity (optim.py "adam" / torch Adam): L2 decay
+                # joins the gradient BEFORE the moments
+                if self.weight_decay:
+                    g = g + self.weight_decay * rows
+                mu_rows = self.b1 * gather_rows(st["mu"], u) + (1 - self.b1) * g
+                nu_rows = self.b2 * gather_rows(st["nu"], u) + (1 - self.b2) * g * g
+                mu_hat = mu_rows / (1 - self.b1**count)
+                nu_hat = nu_rows / (1 - self.b2**count)
+                upd = mu_hat / (jnp.sqrt(nu_hat) + self.adam_eps)
+                new_state[name] = {
+                    "mu": st["mu"].at[u].set(mu_rows, mode="drop"),
+                    "nu": st["nu"].at[u].set(nu_rows, mode="drop"),
+                }
+            else:  # pragma: no cover
+                raise ValueError(self.kind)
+            new_tables[name] = table.at[u].add(
+                (-lr * upd).astype(table.dtype), mode="drop"
+            )
+        return new_tables, new_state
+
+
+def make_table_optimizer(cfg: TrainConfig, schedule) -> TableOptimizer | None:
+    if cfg.table_optimizer == "dense":
+        return None
+    if cfg.table_optimizer not in TABLE_OPTIMIZERS:
+        raise ValueError(
+            f"unknown table_optimizer {cfg.table_optimizer!r}; "
+            f"expected 'dense' or one of {TABLE_OPTIMIZERS}"
+        )
+    return TableOptimizer(
+        kind=cfg.table_optimizer,
+        schedule=schedule,
+        weight_decay=cfg.weight_decay,
+    )
+
+
+def batch_table_ids(fm, batch: dict[str, jax.Array]) -> dict[str, jax.Array]:
+    """Every id each table is asked for this batch, flattened and concatenated
+    across the features that share it (e.g. item_id + item_seq)."""
+    from ctr_recommendation_tpu.config.schema import FeatureType
+
+    per_table: dict[str, list[jax.Array]] = {}
+    for f in fm.features:
+        if f.type not in (FeatureType.CATEGORICAL, FeatureType.SEQUENCE):
+            continue
+        if f.name not in batch:
+            continue
+        per_table.setdefault(fm.table_of[f.name], []).append(
+            batch[f.name].reshape(-1).astype(jnp.int32)
+        )
+    return {name: jnp.concatenate(arrs) for name, arrs in per_table.items()}

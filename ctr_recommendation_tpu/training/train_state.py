@@ -13,9 +13,18 @@ class TrainState(NamedTuple):
     params: Any
     model_state: Any  # BatchNorm running stats etc.
     opt_state: optax.OptState
+    # Sparse-table optimizer state (training/sparse.py); empty dict when the
+    # tables ride the dense optax chain.
+    table_opt_state: Any = ()
 
     @classmethod
-    def create(cls, params, model_state, tx: optax.GradientTransformation):
+    def create(
+        cls,
+        params,
+        model_state,
+        tx: optax.GradientTransformation,
+        table_opt_state: Any = (),
+    ):
         import jax.numpy as jnp
 
         return cls(
@@ -23,4 +32,5 @@ class TrainState(NamedTuple):
             params=params,
             model_state=model_state,
             opt_state=tx.init(params),
+            table_opt_state=table_opt_state,
         )

@@ -115,3 +115,82 @@ def test_microlens_experiment_defaults_match_logged_run():
 
     with pytest.raises(TypeError):
         microlens_experiment(bogus_override=1)
+
+
+# ---- the ACTUAL reference YAML, loaded verbatim (VERDICT r1 missing #4) ----
+
+REFERENCE_YAML = "/root/reference/config/fibinet_config.yaml"
+needs_reference = pytest.mark.skipif(
+    not __import__("os").path.isfile(REFERENCE_YAML),
+    reason="reference checkout not present",
+)
+
+
+@needs_reference
+def test_reference_yaml_verbatim_field_order():
+    """Loading the reference's own config must produce the model's field
+    stack order [User, Like, View, ItemID, ItemImage, Hist]
+    (model_fibinet.py:180-182), NOT the YAML's feature_cols order (which
+    lists item_seq second)."""
+    with pytest.warns(UserWarning, match="reference code hardcodes"):
+        exp = load_experiment(REFERENCE_YAML)
+    fm = build_feature_map(exp.dataset)
+    assert fm.field_names == (
+        "user_id", "likes_level", "views_level", "item_id",
+        "item_emb_d128", "item_seq",
+    )
+    assert fm.table("item_id").vocab_size == 91718
+    assert fm.table_of["item_seq"] == "item_id"
+    assert fm.table_of["views_level"] == "likes_level"
+    assert exp.dataset.feature("item_seq").max_len == 20
+
+
+@needs_reference
+def test_reference_yaml_both_semantics():
+    """yaml-wins honors the YAML's declarations (with a warning listing
+    each dead key); --logged-run-parity applies the code-wins values that
+    produced the logged 0.9315 run (SURVEY §5.6)."""
+    with pytest.warns(UserWarning) as rec:
+        exp = load_experiment(REFERENCE_YAML)
+    msg = str(rec[0].message)
+    for key in ("bilinear_type", "optimizer", "net_dropout"):
+        assert key in msg
+    assert exp.train.optimizer == "adamw"
+    assert exp.model.bilinear_type == "each"
+    assert exp.model.net_dropout == 0.25
+
+    exp2 = load_experiment(REFERENCE_YAML, logged_run_parity=True)
+    assert exp2.train.optimizer == "adam"
+    assert exp2.model.bilinear_type == "all"
+    assert exp2.model.net_dropout == 0.2
+    # keys the reference code DOES read come straight from the YAML
+    for e in (exp, exp2):
+        assert e.train.epochs == 40
+        assert e.train.batch_size == 4096
+        assert e.train.seed == 2025
+        assert e.train.learning_rate == 1e-3
+        assert e.model.embedding_dim == 128
+        assert e.model.senet_reduction == 2
+
+
+def test_field_order_yaml_key(tmp_path):
+    """A YAML may pin the stack order explicitly via field_order."""
+    import textwrap as tw
+
+    cfg = tw.dedent("""
+        base_expid: run
+        dataset_id: ds
+        dataset_config:
+          ds:
+            field_order: [b, a]
+            feature_cols:
+              - {name: a, type: categorical, vocab_size: 5}
+              - {name: b, type: categorical, vocab_size: 7}
+            label_col: {name: label}
+        run:
+          model: dcnv2
+    """)
+    p = tmp_path / "c.yaml"
+    p.write_text(cfg)
+    exp = load_experiment(str(p))
+    assert tuple(f.name for f in exp.dataset.features) == ("b", "a")

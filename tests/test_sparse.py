@@ -1,0 +1,237 @@
+"""Sparse (touched-rows-only) embedding-table optimizer (training/sparse.py).
+
+Equivalence contract (VERDICT r1 item 3): the sparse path must reproduce the
+dense optax chain exactly on the rows a batch touches —
+* adagrad: bit-parity with `scale_by_rss` at weight_decay=0 (untouched rows
+  have zero grad, so dense leaves them unchanged too);
+* adam: parity with `scale_by_adam` while every row is touched every step
+  (lazy Adam skips momentum decay of untouched rows by design);
+* untouched rows (and their optimizer state) must be bit-identical before
+  and after a step.
+Plus end-to-end: a Trainer with table_optimizer=adagrad matches the dense
+Trainer trajectory, and the mp>1 sharded path still runs.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from ctr_recommendation_tpu.training import sparse as sparse_lib
+from ctr_recommendation_tpu.training.loop import Trainer
+from tests.conftest import make_batch
+
+
+def test_dedup_ids_sorted_unique_sentinel():
+    ids = jnp.array([[5, 3, 5], [0, 9, 3]], dtype=jnp.int32)
+    u = sparse_lib.dedup_ids(ids, vocab_rows=16)
+    np.testing.assert_array_equal(np.asarray(u), [0, 3, 5, 9, 16, 16])
+    # capped at vocab when batch ids outnumber the vocab
+    big = jnp.zeros((100,), jnp.int32)
+    assert sparse_lib.dedup_ids(big, vocab_rows=8).shape == (8,)
+
+
+def test_row_lookup_matches_dense_gather():
+    key = jax.random.key(0)
+    table = jax.random.normal(key, (16, 4))
+    ids = jnp.array([3, 7, 3, 1], dtype=jnp.int32)
+    u = sparse_lib.dedup_ids(ids, 16)
+    rows = sparse_lib.gather_rows(table, u)
+    lookup = sparse_lib.make_row_lookup({"t": u}, {"t": rows})
+    np.testing.assert_array_equal(
+        np.asarray(lookup({"t": table}, "t", ids)), np.asarray(table[ids])
+    )
+
+
+def test_row_grads_equal_dense_table_grads():
+    """d(loss)/d(rows) scattered back == d(loss)/d(table): the searchsorted
+    remap's transpose segment-sums duplicates exactly like the dense gather's
+    scatter-add."""
+    key = jax.random.key(1)
+    V, E = 12, 4
+    table = jax.random.normal(key, (V, E))
+    ids = jnp.array([2, 2, 5, 7, 5, 2], dtype=jnp.int32)
+    tgt = jax.random.normal(jax.random.key(2), (ids.size, E))
+
+    def dense_loss(t):
+        return jnp.sum((t[ids] - tgt) ** 2)
+
+    u = sparse_lib.dedup_ids(ids, V)
+    rows0 = sparse_lib.gather_rows(table, u)
+
+    def row_loss(rows):
+        lookup = sparse_lib.make_row_lookup({"t": u}, {"t": rows})
+        return jnp.sum((lookup(None, "t", ids) - tgt) ** 2)
+
+    dense_g = jax.grad(dense_loss)(table)
+    row_g = jax.grad(row_loss)(rows0)
+    scattered = jnp.zeros_like(table).at[u].add(row_g, mode="drop")
+    np.testing.assert_allclose(np.asarray(scattered), np.asarray(dense_g), atol=1e-6)
+
+
+def _run_optax(tx, table, grads_seq):
+    st = tx.init(table)
+    for g in grads_seq:
+        upd, st = tx.update(g, st, table)
+        table = optax.apply_updates(table, upd)
+    return table
+
+
+def _run_sparse(opt, table, uids_seq, rowgrads_seq):
+    st = opt.init({"t": table})
+    tables = {"t": table}
+    for step, (u, rg) in enumerate(zip(uids_seq, rowgrads_seq)):
+        tables, st = opt.update(
+            tables, st, {"t": u}, {"t": rg}, jnp.asarray(step, jnp.int32)
+        )
+    return tables["t"], st
+
+
+@pytest.mark.parametrize("partial_touch", [False, True])
+def test_sparse_adagrad_matches_dense(partial_touch):
+    """Sparse adagrad == scale_by_rss on every row: untouched rows have zero
+    grad, which leaves the rss accumulator AND the row unchanged in the dense
+    chain too, so parity holds even when only some rows are touched."""
+    V, E, steps = 10, 4, 4
+    key = jax.random.key(3)
+    table = jax.random.normal(key, (V, E))
+    sched = optax.constant_schedule(0.05)
+    tx = optax.chain(
+        optax.scale_by_rss(initial_accumulator_value=0.1, eps=1e-10),
+        optax.scale_by_learning_rate(sched),
+    )
+    opt = sparse_lib.TableOptimizer(kind="adagrad", schedule=sched)
+
+    rng = np.random.default_rng(0)
+    uids_seq, rowgrads_seq, dense_seq = [], [], []
+    for _ in range(steps):
+        n = rng.integers(3, V) if partial_touch else V
+        ids = jnp.asarray(rng.choice(V, size=n, replace=False).astype(np.int32))
+        u = sparse_lib.dedup_ids(ids, V)
+        rg = jnp.where(
+            (u < V)[:, None], jax.random.normal(jax.random.key(int(n)), (u.size, E)), 0.0
+        )
+        uids_seq.append(u)
+        rowgrads_seq.append(rg)
+        dense_seq.append(jnp.zeros_like(table).at[u].add(rg, mode="drop"))
+
+    dense_out = _run_optax(tx, table, dense_seq)
+    sparse_out, _ = _run_sparse(opt, table, uids_seq, rowgrads_seq)
+    np.testing.assert_allclose(np.asarray(sparse_out), np.asarray(dense_out), atol=1e-6)
+
+
+def test_sparse_adam_matches_dense_when_all_touched():
+    """Lazy Adam == optax adam while every row is touched every step (the
+    only regime where momentum-decay skipping is invisible)."""
+    V, E, steps = 8, 4, 5
+    table = jax.random.normal(jax.random.key(4), (V, E))
+    sched = optax.cosine_onecycle_schedule(50, 0.01)
+    tx = optax.chain(
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale_by_learning_rate(sched),
+    )
+    opt = sparse_lib.TableOptimizer(kind="adam", schedule=sched)
+
+    u = jnp.arange(V, dtype=jnp.int32)
+    grads = [
+        jax.random.normal(jax.random.key(10 + s), (V, E)) for s in range(steps)
+    ]
+    dense_out = _run_optax(tx, table, grads)
+    sparse_out, _ = _run_sparse(opt, table, [u] * steps, grads)
+    np.testing.assert_allclose(
+        np.asarray(sparse_out), np.asarray(dense_out), atol=1e-6
+    )
+
+
+def test_untouched_rows_bitwise_unchanged():
+    V, E = 10, 4
+    table = jax.random.normal(jax.random.key(5), (V, E))
+    sched = optax.constant_schedule(0.1)
+    for kind in ("adagrad", "rowwise_adagrad", "adam"):
+        opt = sparse_lib.TableOptimizer(kind=kind, schedule=sched)
+        st = opt.init({"t": table})
+        ids = jnp.array([1, 4], dtype=jnp.int32)
+        u = sparse_lib.dedup_ids(ids, V)
+        rg = jnp.ones((u.size, E))
+        new_tables, new_st = opt.update(
+            {"t": table}, st, {"t": u}, {"t": rg}, jnp.asarray(0)
+        )
+        untouched = np.setdiff1d(np.arange(V), np.asarray(ids))
+        np.testing.assert_array_equal(
+            np.asarray(new_tables["t"][untouched]), np.asarray(table[untouched])
+        )
+        for k, v in new_st["t"].items():
+            np.testing.assert_array_equal(
+                np.asarray(v[untouched]), np.asarray(st["t"][k][untouched])
+            )
+        # touched rows DID move
+        assert not np.allclose(
+            np.asarray(new_tables["t"][np.asarray(ids)]),
+            np.asarray(table[np.asarray(ids)]),
+        )
+
+
+def _sparse_exp(tiny_experiment, table_optimizer, *, weight_decay=0.0):
+    tc = dataclasses.replace(
+        tiny_experiment.train,
+        optimizer="adagrad",
+        table_optimizer=table_optimizer,
+        weight_decay=weight_decay,
+        learning_rate=5e-3,
+    )
+    return tiny_experiment.replace(train=tc)
+
+
+def _labeled(batch, rng):
+    b = dict(batch)
+    b["label"] = (rng.random(len(b["item_id"])) < 0.5).astype(np.float32)
+    return b
+
+
+def test_trainer_sparse_matches_dense_end_to_end(tiny_experiment):
+    """Full Trainer trajectory: adagrad tables sparse vs dense, wd=0 —
+    identical params after 3 steps (same grads, same clip, same schedule)."""
+    rng = np.random.default_rng(7)
+    batches = [_labeled(make_batch(rng, 64), rng) for _ in range(3)]
+
+    results = []
+    for table_opt in ("dense", "adagrad"):
+        exp = _sparse_exp(tiny_experiment, table_opt)
+        tr = Trainer(exp, total_steps=10, log_fn=lambda s: None)
+        key = jax.random.key(0)
+        for b in batches:
+            tr.state, m = tr._train_step(tr.state, tr.put_batch(b), key)
+        results.append(jax.tree.map(np.asarray, tr.state.params))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=2e-5), *results
+    )
+
+
+def test_trainer_sparse_mp_sharded_runs(tiny_experiment):
+    """Sparse tables + model-parallel row sharding (GSPMD handles the
+    dedup/gather/scatter on the sharded table): step runs, loss finite,
+    matches the single-device sparse step."""
+    from ctr_recommendation_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(8)
+    batch = _labeled(make_batch(rng, 64), rng)
+
+    exp = _sparse_exp(tiny_experiment, "rowwise_adagrad")
+    mesh_cfg = dataclasses.replace(exp.mesh, data_parallel=2, model_parallel=4)
+    exp_mp = exp.replace(mesh=mesh_cfg)
+
+    tr1 = Trainer(exp, total_steps=10, log_fn=lambda s: None)
+    trm = Trainer(exp_mp, mesh=make_mesh(mesh_cfg), total_steps=10, log_fn=lambda s: None)
+    key = jax.random.key(0)
+    s1, m1 = tr1._train_step(tr1.state, tr1.put_batch(batch), key)
+    sm, mm = trm._train_step(trm.state, trm.put_batch(batch), key)
+    assert np.isfinite(float(m1["loss"]))
+    np.testing.assert_allclose(float(m1["loss"]), float(mm["loss"]), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(sm.params["trunk"]["tables"]["item_id"]),
+        np.asarray(s1.params["trunk"]["tables"]["item_id"]),
+        atol=2e-5,
+    )
