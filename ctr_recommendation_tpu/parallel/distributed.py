@@ -18,19 +18,29 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
-               process_id: int | None = None) -> None:
-    """Idempotent jax.distributed.initialize (no-op when single-process
-    without coordinator env/flags)."""
-    if jax.process_count() > 1:
-        return  # already initialized
-    if coordinator_address is None and num_processes is None:
-        # single host, nothing to do
-        return
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+               process_id: int | None = None) -> bool:
+    """Idempotent jax.distributed.initialize. Returns True when the
+    distributed runtime is (now) initialized.
+
+    Must run before any JAX computation (the check below deliberately does
+    NOT touch the backend — ``jax.process_count()`` would initialize the
+    local runtime and break a later multi-process init). With no explicit
+    args, env-based auto-detection is attempted (TPU pod / SLURM / cloud
+    environments export the coordination variables); a plain single-process
+    environment is a clean no-op."""
+    if jax.distributed.is_initialized():
+        return True
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        return True
+    except (ValueError, RuntimeError):
+        if coordinator_address is not None or num_processes is not None:
+            raise  # an explicit request must not silently no-op
+        return False  # bare call outside any cluster environment
 
 
 def host_id() -> int:
