@@ -93,6 +93,21 @@ def main() -> None:
         reps.append(time.perf_counter() - t0)
     infer_rows_per_sec = eval_bs * n_batches / float(np.median(reps))
 
+    # --- device-only per-batch scoring latency (VERDICT r1 item 9):
+    # scoring_batch_ms above is dominated by this environment's tunnel RTT.
+    # The scan program runs its 47 batches SEQUENTIALLY on device, so
+    # per-batch device time = (one-program wall time - dispatch floor) / 47,
+    # where the floor is the wall time of a trivial dispatch+value-read. ---
+    trivial = jax.jit(lambda x: x + 1.0)
+    float(trivial(jnp.float32(0.0)))  # compile
+    floors = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(trivial(jnp.float32(1.0)))
+        floors.append(time.perf_counter() - t0)
+    floor_s = float(np.median(floors))
+    device_scoring_ms = max(float(np.median(reps)) - floor_s, 0.0) / n_batches * 1e3
+
     # --- e2e train throughput: on-device epoch scan over distinct batches ---
     train_bs = 4096
     n_steps = 40
@@ -134,6 +149,34 @@ def main() -> None:
         times.append(time.perf_counter() - t0)
     train_rows_per_sec = n_rows / float(np.median(times))
 
+    # --- same epoch with sparse (touched-rows) table updates ---
+    trainer_s = Trainer(
+        exp.replace(
+            train=dataclasses.replace(
+                exp.train, batch_size=train_bs, checkpoint_dir="/tmp/bench_ckpt_s",
+                table_optimizer="rowwise_adagrad",
+            )
+        ),
+        steps_per_epoch=n_steps,
+        log_fn=lambda s: None,
+    )
+    data_s = trainer_s._upload_split(_Split())
+    epoch_fn_s = trainer_s._build_train_epoch(n_steps, train_bs)
+    for _ in range(2):
+        trainer_s.state, losses = epoch_fn_s(
+            trainer_s.state, data_s, perm, trainer_s._mm_tables, key
+        )
+        float(jnp.sum(losses))
+    times_s = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        trainer_s.state, losses = epoch_fn_s(
+            trainer_s.state, data_s, perm, trainer_s._mm_tables, key
+        )
+        float(jnp.sum(losses))
+        times_s.append(time.perf_counter() - t0)
+    train_rows_per_sec_sparse = n_rows / float(np.median(times_s))
+
     print(
         json.dumps(
             {
@@ -144,7 +187,12 @@ def main() -> None:
                 "extra": {
                     "backend": jax.default_backend(),
                     "scoring_batch_ms": round(p50_ms, 3),
+                    "device_scoring_ms": round(device_scoring_ms, 3),
+                    "dispatch_floor_ms": round(floor_s * 1e3, 3),
                     "train_examples_per_sec": round(train_rows_per_sec, 1),
+                    "train_examples_per_sec_sparse_tables": round(
+                        train_rows_per_sec_sparse, 1
+                    ),
                     "eval_batch": eval_bs,
                     "train_batch": train_bs,
                 },

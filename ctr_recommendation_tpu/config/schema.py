@@ -130,10 +130,14 @@ class ModelConfig:
     attn_dropout: float = 0.1
     # Use fused Pallas kernels for the interaction block when on TPU.
     use_pallas: bool = True
-    # DNN-tower matmul precision: "float32" (reference parity) or "compute"
-    # (run the tower in the training compute dtype, e.g. bfloat16 — ~2x MXU
-    # throughput; BatchNorm statistics stay fp32 either way).
-    tower_dtype: str = "float32"
+    # DNN-tower matmul precision: "compute" runs the tower in the training
+    # compute dtype (bfloat16 — ~2x MXU throughput; BatchNorm statistics
+    # stay fp32 either way); "float32" is exact reference parity. Default
+    # flipped to "compute" after the convergence study showed identical
+    # AUC/loss trajectories (benchmarks/bf16_tower_study.py, docs/
+    # PERFORMANCE.md round-2 table; fp32 vs bf16 AUC within 0.007, bf16
+    # slightly ahead, losses within 0.003).
+    tower_dtype: str = "compute"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -168,6 +172,9 @@ class TrainConfig:
     eval_batch_size: int = 8192
     num_eval_threshold_bins: int = 0  # 0 => exact (sort-based) AUC
     save_best_only: bool = True
+    # Mirror the per-epoch metrics CSV to TensorBoard (checkpoint_dir/tb)
+    # when the tensorboard package is importable; silently off otherwise.
+    tensorboard: bool = True
     checkpoint_dir: str = "checkpoints"
     keep_checkpoints: int = 3
     # Mixed precision: params fp32, interaction/tower compute bf16.
@@ -267,6 +274,7 @@ def train_config_from_dict(d: Mapping[str, Any]) -> TrainConfig:
             d.get("num_eval_threshold_bins", base.num_eval_threshold_bins)
         ),
         save_best_only=bool(d.get("save_best_only", base.save_best_only)),
+        tensorboard=bool(d.get("tensorboard", base.tensorboard)),
         checkpoint_dir=str(d.get("checkpoint_dir", base.checkpoint_dir)),
         keep_checkpoints=int(d.get("keep_checkpoints", base.keep_checkpoints)),
         compute_dtype=str(d.get("compute_dtype", base.compute_dtype)),

@@ -83,6 +83,15 @@ class Trainer:
         self.ckpt = CheckpointManager(
             checkpoint_dir or tc.checkpoint_dir, max_to_keep=tc.keep_checkpoints
         )
+        from ctr_recommendation_tpu.utils.tb import ScalarWriter
+
+        import os as _os
+
+        self._tb = ScalarWriter(
+            _os.path.join(checkpoint_dir or tc.checkpoint_dir, "tb")
+            if tc.tensorboard
+            else None
+        )
         # checkpoints are self-describing: persist the experiment so predict
         # can rebuild the exact model (config/serialize.py)
         try:
@@ -454,9 +463,14 @@ class Trainer:
 
     def _write_history_csv(self) -> None:
         """Structured metric log (SURVEY §5.5: the reference only prints;
-        its declared logs_root is dead). One CSV row per epoch."""
+        its declared logs_root is dead). One CSV row per epoch, mirrored to
+        TensorBoard when the package is available."""
         import csv
         import os
+
+        if self.history:
+            last = self.history[-1]
+            self._tb.scalars(int(last.get("epoch", len(self.history))), last)
 
         path = os.path.join(self.exp.train.checkpoint_dir, "metrics.csv")
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)

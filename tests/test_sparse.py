@@ -235,3 +235,26 @@ def test_trainer_sparse_mp_sharded_runs(tiny_experiment):
         np.asarray(s1.params["trunk"]["tables"]["item_id"]),
         atol=2e-5,
     )
+
+
+def test_sparse_state_checkpoint_roundtrip(tiny_experiment, tmp_path):
+    """table_opt_state rides the full-state checkpoint: save after one step,
+    restore into a fresh Trainer, trees identical."""
+    rng = np.random.default_rng(9)
+    batch = _labeled(make_batch(rng, 64), rng)
+    exp = _sparse_exp(tiny_experiment, "adagrad")
+    tr = Trainer(exp, total_steps=5, checkpoint_dir=str(tmp_path), log_fn=lambda s: None)
+    tr.state, _ = tr._train_step(tr.state, tr.put_batch(batch), jax.random.key(0))
+    tr.ckpt.save(1, tr.state)
+
+    tr2 = Trainer(exp, total_steps=5, checkpoint_dir=str(tmp_path), log_fn=lambda s: None)
+    restored = tr2.ckpt.restore(1, tr2.state)
+    assert int(restored.step) == 1
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        restored.table_opt_state, tr.state.table_opt_state,
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        restored.params, tr.state.params,
+    )
