@@ -124,6 +124,9 @@ class ModelConfig:
     finalmlp_stream1_units: tuple[int, ...] = (512, 256)
     finalmlp_stream2_units: tuple[int, ...] = (512, 256)
     finalmlp_num_heads: int = 8
+    # AutoInt interacting layers (models/autoint.py).
+    autoint_num_layers: int = 2
+    autoint_num_heads: int = 2
     # SASRec-style attention pooling over the click history.
     attn_num_heads: int = 2
     attn_num_layers: int = 1
@@ -235,6 +238,8 @@ def model_config_from_dict(d: Mapping[str, Any]) -> ModelConfig:
             d.get("finalmlp_stream2_units"), base.finalmlp_stream2_units
         ),
         finalmlp_num_heads=int(d.get("finalmlp_num_heads", base.finalmlp_num_heads)),
+        autoint_num_layers=int(d.get("autoint_num_layers", base.autoint_num_layers)),
+        autoint_num_heads=int(d.get("autoint_num_heads", base.autoint_num_heads)),
         attn_num_heads=int(d.get("attn_num_heads", base.attn_num_heads)),
         attn_num_layers=int(d.get("attn_num_layers", base.attn_num_layers)),
         attn_dropout=float(d.get("attn_dropout", base.attn_dropout)),

@@ -20,7 +20,9 @@ import jax
 from ctr_recommendation_tpu.config.schema import ModelConfig
 from ctr_recommendation_tpu.features.feature_map import FeatureMap
 from ctr_recommendation_tpu.models import (
+    autoint,
     dcnv2,
+    deepfm,
     fibinet,
     finalmlp,
     sasrec_fibinet,
@@ -51,6 +53,8 @@ register("xdeepfm", xdeepfm)
 register("finalmlp", finalmlp)
 register("sasrec_fibinet", sasrec_fibinet)
 register("dcnv2", dcnv2)
+register("deepfm", deepfm)
+register("autoint", autoint)
 
 
 def build_model(
