@@ -79,6 +79,17 @@ class Trainer:
                 "its deduplicated row gather; an injected sharded lookup cannot "
                 "be combined with it (row exchange is left to GSPMD)"
             )
+        if self.table_opt is not None:
+            from ctr_recommendation_tpu.config.schema import FeatureType
+
+            for f in self.fm.features:
+                if f.type == FeatureType.SEQUENCE and f.pad_id != 0:
+                    raise ValueError(
+                        f"sparse table_optimizer requires pad_id 0 (feature "
+                        f"{f.name!r} has pad_id {f.pad_id}): the batch id "
+                        "remap preserves the pad mask only for id 0 "
+                        "(training/sparse.py remap_batch)"
+                    )
 
         self.ckpt = CheckpointManager(
             checkpoint_dir or tc.checkpoint_dir, max_to_keep=tc.keep_checkpoints
@@ -240,17 +251,46 @@ class Trainer:
         table rows through the TableOptimizer."""
         from ctr_recommendation_tpu.training import sparse as sparse_lib
 
+        from ctr_recommendation_tpu.config.schema import FeatureType
+
         module, fm, cfg = self.module, self.fm, self.exp.model
         tables = state.params["trunk"]["tables"]
-        table_ids = sparse_lib.batch_table_ids(fm, feats)
-        uids = {
-            name: sparse_lib.dedup_ids(ids, tables[name].shape[0])
-            for name, ids in table_ids.items()
+
+        # Per-table execution strategy (static, from batch shapes): tables
+        # much larger than the batch's id count take the gathered-rows path
+        # (dedup + row buffer); the rest take masked-dense (full-table
+        # elementwise, no sort/scatter) — identical lazy semantics.
+        flat_counts: dict[str, int] = {}
+        for f in fm.features:
+            if f.type in (FeatureType.CATEGORICAL, FeatureType.SEQUENCE) and (
+                f.name in feats
+            ):
+                t = fm.table_of[f.name]
+                flat_counts[t] = flat_counts.get(t, 1) + int(
+                    np.prod(feats[f.name].shape)
+                )
+        gathered = {
+            t
+            for t, c in flat_counts.items()
+            if sparse_lib.choose_strategy(tables[t].shape[0], c) == "gathered"
         }
+        masked = [t for t in flat_counts if t not in gathered]
+
+        # Rewrite gathered tables' id features to row-buffer indices once
+        # (single unique/sort per table, no per-lookup searchsorted) —
+        # pad-mask semantics are preserved because remap(0) == 0.
+        feats, uids = sparse_lib.remap_batch(fm, feats, tables, only=gathered)
         rows = {n: sparse_lib.gather_rows(tables[n], uids[n]) for n in uids}
 
         def loss_fn(params, rows):
-            lookup = sparse_lib.make_row_lookup(uids, rows)
+            def lookup(tbls, name, ids):
+                # gathered tables read the row buffer (grads flow to `rows`);
+                # masked-dense tables read the table param directly (grads
+                # flow to params and drive update_dense below)
+                if name in rows:
+                    return rows[name][ids]
+                return tbls[name][ids]
+
             logits, new_mstate = module.apply(
                 params, state.model_state, fm, cfg, feats,
                 train=True, rng=step_rng, compute_dtype=self._compute_dtype,
@@ -264,19 +304,40 @@ class Trainer:
 
         clip = self.exp.train.grad_clip_norm
         if clip and clip > 0:
-            # joint global norm; the zero table grads inside `grads`
-            # contribute nothing
+            # joint global norm over dense grads (incl. masked tables' dense
+            # table grads) + gathered row grads; gathered tables' direct
+            # param grads are zero, so nothing is double-counted
             gnorm = optax.global_norm((grads, row_grads))
             scale = jnp.minimum(1.0, clip / jnp.maximum(gnorm, 1e-16))
             grads, row_grads = jax.tree.map(
                 lambda g: g * scale, (grads, row_grads)
             )
 
+        # dense chain updates everything except tables (multi_transform
+        # zeroes every table's direct update, masked or gathered)
         updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        new_tables, new_tstate = self.table_opt.update(
-            tables, state.table_opt_state, uids, row_grads, state.step
-        )
+
+        new_tables = dict(tables)
+        new_tstate = dict(state.table_opt_state)
+        if gathered:
+            sub = lambda d, keys: {k: d[k] for k in keys}
+            upd_t, upd_s = self.table_opt.update(
+                sub(tables, gathered), sub(state.table_opt_state, gathered),
+                uids, row_grads, state.step,
+            )
+            new_tables.update(upd_t)
+            new_tstate.update(upd_s)
+        if masked:
+            sub = lambda d, keys: {k: d[k] for k in keys}
+            dense_grads = {t: grads["trunk"]["tables"][t] for t in masked}
+            upd_t, upd_s = self.table_opt.update_dense(
+                sub(tables, masked), sub(state.table_opt_state, masked),
+                dense_grads, state.step,
+            )
+            new_tables.update(upd_t)
+            new_tstate.update(upd_s)
+
         new_params = dict(new_params)
         new_params["trunk"] = dict(new_params["trunk"])
         new_params["trunk"]["tables"] = new_tables

@@ -57,6 +57,21 @@ def dedup_ids(ids: jax.Array, vocab_rows: int) -> jax.Array:
     return jnp.unique(flat, size=min(flat.size, vocab_rows), fill_value=vocab_rows)
 
 
+def dedup_ids_inverse(
+    ids: jax.Array, vocab_rows: int
+) -> tuple[jax.Array, jax.Array]:
+    """Like :func:`dedup_ids` but also returns the inverse map (position of
+    each input element in the unique array) — the remap the train step bakes
+    into the batch so the in-loss lookup is a plain ``rows[idx]`` gather with
+    no per-lookup ``searchsorted`` binary search."""
+    flat = ids.reshape(-1).astype(jnp.int32)
+    uids, inv = jnp.unique(
+        flat, size=min(flat.size, vocab_rows), fill_value=vocab_rows,
+        return_inverse=True,
+    )
+    return uids, inv.astype(jnp.int32)
+
+
 def gather_rows(table: jax.Array, uids: jax.Array) -> jax.Array:
     """Rows for unique ids; sentinel slots gather a clipped row whose value
     is never used (nothing maps to them) and whose updates are dropped."""
@@ -158,6 +173,70 @@ class TableOptimizer:
         return new_tables, new_state
 
 
+    def update_dense(
+        self,
+        tables: dict[str, jax.Array],
+        tstate: dict[str, Any],
+        dense_grads: dict[str, jax.Array],
+        step: jax.Array,
+    ) -> tuple[dict[str, jax.Array], dict[str, Any]]:
+        """Masked-dense execution strategy: same lazy touched-rows-only
+        semantics, computed as full-table elementwise ops gated by
+        ``touched = any(|g| > 0)`` per row — no sort, no searchsorted, no
+        extra scatters. This is the fast path when the vocab is comparable
+        to the batch's id count (e.g. MicroLens: ~86K ids/step vs 92K rows),
+        where the gathered-rows path's dedup sort + scatter traffic exceeds
+        the full-table elementwise cost. Rows whose gradient is exactly zero
+        are treated as untouched (they carry no gradient information; this
+        only skips their lazy decay, and is bit-identical for wd=0)."""
+        lr = self.schedule(step)
+        count = (step + 1).astype(jnp.float32)
+        new_tables, new_state = {}, {}
+        for name, table in tables.items():
+            g = dense_grads[name]
+            st = tstate[name]
+            touched = jnp.any(g != 0, axis=-1, keepdims=True)  # (V, 1)
+            if self.kind in ("adagrad", "rowwise_adagrad"):
+                if self.kind == "rowwise_adagrad":
+                    acc = st["acc"] + jnp.mean(g * g, axis=-1, keepdims=True)
+                else:
+                    acc = st["acc"] + g * g
+                upd = jnp.where(acc > 0, jax.lax.rsqrt(acc + self.rss_eps), 0.0) * g
+                if self.weight_decay:
+                    upd = upd + jnp.where(touched, self.weight_decay * table, 0.0)
+                new_state[name] = {"acc": acc}
+            elif self.kind == "adam":
+                if self.weight_decay:
+                    g = g + jnp.where(touched, self.weight_decay * table, 0.0)
+                mu = jnp.where(touched, self.b1 * st["mu"] + (1 - self.b1) * g, st["mu"])
+                nu = jnp.where(
+                    touched, self.b2 * st["nu"] + (1 - self.b2) * g * g, st["nu"]
+                )
+                mu_hat = mu / (1 - self.b1**count)
+                nu_hat = nu / (1 - self.b2**count)
+                upd = jnp.where(touched, mu_hat / (jnp.sqrt(nu_hat) + self.adam_eps), 0.0)
+                new_state[name] = {"mu": mu, "nu": nu}
+            else:  # pragma: no cover
+                raise ValueError(self.kind)
+            new_tables[name] = table - (lr * upd).astype(table.dtype)
+        return new_tables, new_state
+
+
+# Per-table execution strategy: the gathered-rows path pays a dedup sort and
+# ~3 extra large scatter/gathers, which only amortize when the table is much
+# larger than the batch's id count. Below this vocab/ids ratio the
+# masked-dense strategy (full-table elementwise, no sort/scatter) is faster.
+GATHERED_MIN_VOCAB_RATIO = 4.0
+
+
+def choose_strategy(vocab_rows: int, flat_ids: int) -> str:
+    return (
+        "gathered"
+        if vocab_rows > GATHERED_MIN_VOCAB_RATIO * flat_ids
+        else "masked_dense"
+    )
+
+
 def make_table_optimizer(cfg: TrainConfig, schedule) -> TableOptimizer | None:
     if cfg.table_optimizer == "dense":
         return None
@@ -188,3 +267,55 @@ def batch_table_ids(fm, batch: dict[str, jax.Array]) -> dict[str, jax.Array]:
             batch[f.name].reshape(-1).astype(jnp.int32)
         )
     return {name: jnp.concatenate(arrs) for name, arrs in per_table.items()}
+
+
+def remap_batch(
+    fm,
+    feats: dict[str, jax.Array],
+    tables: dict[str, jax.Array],
+    only: set[str] | None = None,
+) -> tuple[dict[str, jax.Array], dict[str, jax.Array]]:
+    """Dedup every table's batch ids ONCE and rewrite the id features to
+    row-buffer indices, so the in-loss lookup is a plain gather.
+
+    A pad id (0) is force-included at the head of each table's id stream:
+    ``uids`` is sorted and ids are non-negative, so ``uids[0] == 0`` and the
+    remap maps 0 -> 0 — preserving the ``ids == 0`` mask semantics that
+    sequence pooling and attention rely on (models/trunk.py uses the raw ids
+    as the pad mask). Only valid while every sequence pad_id is 0, which the
+    FeatureMap guarantees for this framework's datasets; the caller asserts.
+
+    Returns (remapped feats, uids per table).
+    """
+    from ctr_recommendation_tpu.config.schema import FeatureType
+
+    plan: dict[str, list] = {}
+    flats: dict[str, list[jax.Array]] = {}
+    for f in fm.features:
+        if f.type not in (FeatureType.CATEGORICAL, FeatureType.SEQUENCE):
+            continue
+        if f.name not in feats:
+            continue
+        t = fm.table_of[f.name]
+        if only is not None and t not in only:
+            continue
+        if t not in flats:
+            flats[t] = [jnp.zeros((1,), jnp.int32)]  # force-include pad id 0
+            plan[t] = []
+        ids = feats[f.name].astype(jnp.int32)
+        start = sum(a.size for a in flats[t])
+        flats[t].append(ids.reshape(-1))
+        plan[t].append((f.name, start, ids.shape))
+
+    out = dict(feats)
+    uids: dict[str, jax.Array] = {}
+    for t, arrs in flats.items():
+        flat = jnp.concatenate(arrs)
+        u, inv = dedup_ids_inverse(flat, tables[t].shape[0])
+        uids[t] = u
+        for fname, start, shape in plan[t]:
+            n = 1
+            for s in shape:
+                n *= s
+            out[fname] = inv[start : start + n].reshape(shape)
+    return out, uids

@@ -258,3 +258,55 @@ def test_sparse_state_checkpoint_roundtrip(tiny_experiment, tmp_path):
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         restored.params, tr.state.params,
     )
+
+
+def test_remap_batch_preserves_pad_mask_and_values(tiny_feature_map):
+    """remap_batch: remapped ids gather identical rows, and remap(0) == 0 so
+    the `ids == 0` pad mask is bit-identical pre/post remap."""
+    from ctr_recommendation_tpu.features import build_feature_map
+
+    fm = tiny_feature_map
+    rng = np.random.default_rng(11)
+    feats = make_batch(rng, 32)
+    tables = {
+        "item_id": jax.random.normal(jax.random.key(0), (256, 8)),
+        "likes_level": jax.random.normal(jax.random.key(1), (128, 8)),
+    }
+    remapped, uids = sparse_lib.remap_batch(fm, feats, tables)
+    rows = {n: sparse_lib.gather_rows(tables[n], uids[n]) for n in uids}
+    # pad-mask parity on the sequence feature
+    np.testing.assert_array_equal(
+        np.asarray(remapped["item_seq"] == 0), np.asarray(feats["item_seq"] == 0)
+    )
+    # value parity: rows[remap(ids)] == table[ids] for every id feature
+    for fname, tname in fm.table_of.items():
+        got = np.asarray(rows[tname][remapped[fname]])
+        want = np.asarray(tables[tname][feats[fname].astype(np.int32)])
+        np.testing.assert_array_equal(got, want)
+    # non-id features untouched
+    np.testing.assert_array_equal(
+        np.asarray(remapped["item_emb_d128"]), feats["item_emb_d128"]
+    )
+
+
+@pytest.mark.parametrize("force", ["gathered", "masked_dense"])
+def test_trainer_both_strategies_match_dense(tiny_experiment, monkeypatch, force):
+    """Both execution strategies (gathered rows / masked dense) reproduce the
+    dense optax trajectory — same contract, different HBM profiles."""
+    monkeypatch.setattr(
+        sparse_lib, "GATHERED_MIN_VOCAB_RATIO",
+        0.0 if force == "gathered" else 1e12,
+    )
+    rng = np.random.default_rng(13)
+    batches = [_labeled(make_batch(rng, 64), rng) for _ in range(2)]
+    results = []
+    for table_opt in ("dense", "adagrad"):
+        exp = _sparse_exp(tiny_experiment, table_opt)
+        tr = Trainer(exp, total_steps=10, log_fn=lambda s: None)
+        key = jax.random.key(0)
+        for b in batches:
+            tr.state, _ = tr._train_step(tr.state, tr.put_batch(b), key)
+        results.append(jax.tree.map(np.asarray, tr.state.params))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=2e-5), *results
+    )
