@@ -89,11 +89,14 @@ def apply(
 ) -> jax.Array:
     """batch dict -> field stack (B, F, E), fields in feature-map order.
 
-    ``lookup(tables, table_name, ids)`` overrides the embedding gather — the
-    distributed path injects the shard_map all-to-all lookup here.
+    ``lookup(tables, table_name, ids, feature=<feature name>)`` overrides the
+    embedding gather — the distributed path injects the shard_map all-to-all
+    lookup here; the sparse-table train step injects row-buffer lookups. The
+    ``feature`` kwarg identifies the calling feature for lookups that need
+    per-feature routing.
     """
     if lookup is None:
-        lookup = lambda tables, name, ids: tables[name][ids]
+        lookup = lambda tables, name, ids, feature=None: tables[name][ids]
 
     e = cfg.embedding_dim
     batch_size = None
@@ -110,7 +113,7 @@ def apply(
             fields.append(jnp.zeros((batch_size, e), dtype=compute_dtype))
         elif f.type == FeatureType.CATEGORICAL:
             ids = batch[f.name].astype(jnp.int32)
-            emb = lookup(params["tables"], fm.table_of[f.name], ids)
+            emb = lookup(params["tables"], fm.table_of[f.name], ids, feature=f.name)
             fields.append(emb.astype(compute_dtype))
         elif f.type == FeatureType.DENSE_EMBEDDING:
             p = params["dense"][f.name]
@@ -119,9 +122,9 @@ def apply(
             fields.append(jax.nn.relu(h).astype(compute_dtype))
         elif f.type == FeatureType.SEQUENCE:
             seq_ids = batch[f.name].astype(jnp.int32)
-            seq_emb = lookup(params["tables"], fm.table_of[f.name], seq_ids).astype(
-                compute_dtype
-            )
+            seq_emb = lookup(
+                params["tables"], fm.table_of[f.name], seq_ids, feature=f.name
+            ).astype(compute_dtype)
             if seq_pooling == "attention":
                 encoded = attn_ops.encode(
                     params["attn"][f.name],
@@ -139,7 +142,8 @@ def apply(
                 target_name = fm.table_of[f.name]
                 if target_name in batch:
                     target = lookup(
-                        params["tables"], target_name, batch[target_name].astype(jnp.int32)
+                        params["tables"], target_name,
+                        batch[target_name].astype(jnp.int32), feature=target_name,
                     ).astype(compute_dtype)
                 else:
                     target = pooling.masked_mean(seq_emb, seq_ids, f.pad_id)

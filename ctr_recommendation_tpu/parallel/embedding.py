@@ -201,7 +201,7 @@ def make_sharded_lookup(
 ):
     """A ``lookup(tables, name, ids)`` closure for models.trunk.apply."""
 
-    def lookup(tables: dict, name: str, ids: jax.Array) -> jax.Array:
+    def lookup(tables: dict, name: str, ids: jax.Array, feature=None) -> jax.Array:
         return sharded_lookup(
             tables[name],
             ids,

@@ -281,12 +281,16 @@ class Trainer:
         # pad-mask semantics are preserved because remap(0) == 0.
         feats, uids = sparse_lib.remap_batch(fm, feats, tables, only=gathered)
         rows = {n: sparse_lib.gather_rows(tables[n], uids[n]) for n in uids}
+        # Masked-dense tables read the table param directly: grads flow to
+        # params through XLA's gather-transpose scatter and drive
+        # update_dense below. (A sorted-segment-sum backward via ONE
+        # stream_gather per table was tried and measured SLOWER in context —
+        # 825K vs 1.044M ex/s — the in-loop scatter is already well fused;
+        # see docs/PERFORMANCE.md.)
 
         def loss_fn(params, rows):
-            def lookup(tbls, name, ids):
-                # gathered tables read the row buffer (grads flow to `rows`);
-                # masked-dense tables read the table param directly (grads
-                # flow to params and drive update_dense below)
+            def lookup(tbls, name, ids, feature=None):
+                # gathered tables read the row buffer (grads flow to `rows`)
                 if name in rows:
                     return rows[name][ids]
                 return tbls[name][ids]

@@ -83,7 +83,7 @@ def make_row_lookup(uids: dict[str, jax.Array], rows: dict[str, jax.Array]) -> C
     gathered row buffers instead of the full tables (the ``tables`` argument
     is intentionally unused so table params receive zero gradient)."""
 
-    def lookup(tables: dict, name: str, ids: jax.Array) -> jax.Array:
+    def lookup(tables: dict, name: str, ids: jax.Array, feature=None) -> jax.Array:
         del tables
         return rows[name][jnp.searchsorted(uids[name], ids.astype(jnp.int32))]
 
