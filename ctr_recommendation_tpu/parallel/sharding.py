@@ -52,6 +52,26 @@ def tree_shardings(spec_tree: Any, mesh: Mesh) -> Any:
     )
 
 
+def put_global(tree: Any, shardings: Any) -> Any:
+    """Place host values onto (possibly cross-process) shardings.
+
+    Single-process: plain ``device_put``. Multi-controller: ``device_put``
+    cannot target devices this process does not own, so each process
+    supplies its addressable shards via ``make_array_from_callback`` —
+    valid because every process holds the SAME host value (same seed/init),
+    the standard multi-host initialization contract."""
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return jax.device_put(tree, shardings)
+
+    def put(x, s):
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(arr.shape, s, lambda idx: arr[idx])
+
+    return jax.tree.map(put, tree, shardings)
+
+
 def opt_state_specs(opt_state: Any, params_spec_tree: Any, params: Any) -> Any:
     """Give optimizer-state subtrees that mirror the params tree (optax
     moments: Adam mu/nu, Adagrad accumulators) the param specs, and

@@ -139,33 +139,33 @@ class Trainer:
 
         # --- init params on device with the right shardings ---
         key = jax.random.key(tc.seed)
-        with jax.default_device(jax.devices()[0]):
+        # local_devices: under multi-controller, devices()[0] may belong to
+        # another process and init values would be unreadable here
+        with jax.default_device(jax.local_devices()[0]):
             params, model_state = self.module.init(key, self.fm, experiment.model)
         pspecs = param_specs(params, self.mesh, ma)
         self._param_shardings = jax.tree.map(
             lambda s: NamedSharding(self.mesh, s), pspecs,
             is_leaf=lambda x: isinstance(x, P),
         )
-        params = jax.device_put(params, self._param_shardings)
-        model_state = jax.device_put(model_state, self._repl_sharding)
-        table_opt_state = (
-            self.table_opt.init(params["trunk"]["tables"])
-            if self.table_opt is not None
-            else {}
-        )
-        self.state = TrainState.create(params, model_state, self.tx, table_opt_state)
-        # Place the FULL train state on the mesh: params by their specs,
+        # Sharding tree for the FULL train state: params by their specs,
         # optimizer moments like the params they mirror (so sharded tables
-        # get sharded Adam state), scalars/stats replicated. The same
-        # sharding tree re-places arrays after checkpoint restore (orbax
-        # hands back single-device arrays).
-        from ctr_recommendation_tpu.parallel.sharding import opt_state_specs
+        # get sharded Adam state), scalars/stats replicated. Structures are
+        # derived abstractly (eval_shape) so nothing is materialized twice.
+        # The same sharding tree re-places arrays after checkpoint restore
+        # (orbax hands back single-device arrays).
+        from ctr_recommendation_tpu.parallel.sharding import opt_state_specs, put_global
 
-        ospecs = opt_state_specs(self.state.opt_state, pspecs, params)
+        opt_shape = jax.eval_shape(self.tx.init, params)
+        ospecs = opt_state_specs(opt_shape, pspecs, params)
         shard_tables = self.mesh.shape[ma] > 1
+        if self.table_opt is not None:
+            tshape = jax.eval_shape(self.table_opt.init, params["trunk"]["tables"])
+        else:
+            tshape = {}
         tspecs = jax.tree.map(
             lambda a: P(ma, None) if (shard_tables and a.ndim == 2) else P(),
-            table_opt_state,
+            tshape,
         )
         spec_state = TrainState(
             step=P(),
@@ -179,7 +179,26 @@ class Trainer:
             spec_state,
             is_leaf=lambda x: isinstance(x, P),
         )
-        self.state = jax.device_put(self.state, self._state_shardings)
+        # Host -> global placement: device_put single-process,
+        # make_array_from_callback under multi-controller (where device_put
+        # cannot target other processes' devices). Optimizer state is then
+        # built INSIDE jit with out_shardings — eager zeros_like on global
+        # arrays is not legal multi-controller.
+        params = put_global(params, self._param_shardings)
+        model_state = put_global(
+            model_state, jax.tree.map(lambda _: self._repl_sharding, model_state)
+        )
+
+        @functools.partial(jax.jit, out_shardings=self._state_shardings)
+        def _init_state(params, model_state):
+            table_opt_state = (
+                self.table_opt.init(params["trunk"]["tables"])
+                if self.table_opt is not None
+                else {}
+            )
+            return TrainState.create(params, model_state, self.tx, table_opt_state)
+
+        self.state = _init_state(params, model_state)
 
         self._train_step_fn = self._build_train_step()
         self._eval_step_fn = self._build_eval_step()
@@ -422,6 +441,15 @@ class Trainer:
 
     # ------------------------------------------------------------------ data
     def put_batch(self, batch: dict[str, np.ndarray]) -> dict[str, jax.Array]:
+        if jax.process_count() > 1:
+            # multi-controller: each host contributes its local rows
+            from ctr_recommendation_tpu.parallel.distributed import (
+                host_local_to_global,
+            )
+
+            return host_local_to_global(
+                dict(batch), self.mesh, self.exp.mesh.data_axis
+            )
         return jax.device_put(batch, self._batch_sharding)
 
     def _seed_best(self, best: float) -> float:

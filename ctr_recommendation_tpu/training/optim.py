@@ -21,8 +21,12 @@ def make_schedule(cfg: TrainConfig, total_steps: int) -> optax.Schedule:
     if cfg.lr_schedule == "constant":
         return optax.constant_schedule(cfg.learning_rate)
     if cfg.lr_schedule == "onecycle":
+        # optax's onecycle divides by interval widths int(pct_start * T) and
+        # T - that; T <= 3 makes one interval zero-width and every lr NaN —
+        # silently poisoning all params on step one. Clamp so both phases
+        # are non-empty (only reachable in tiny smoke runs).
         return optax.cosine_onecycle_schedule(
-            transition_steps=max(total_steps, 1),
+            transition_steps=max(total_steps, 4),
             peak_value=cfg.learning_rate * cfg.onecycle_peak_factor,
             pct_start=cfg.onecycle_pct_start,
             div_factor=cfg.onecycle_div_factor,

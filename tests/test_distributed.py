@@ -79,3 +79,58 @@ def test_initialize_noop_outside_cluster():
 
     # this pytest process runs single-host CPU with no cluster env
     assert distributed.initialize() is False
+
+
+def test_two_process_trainer_step_matches_single_process():
+    """FULL Trainer step across 2 real processes (dp=2) == single-process
+    Trainer on the same batch: identical loss and identical updated table."""
+    import jax
+    import numpy as np
+
+    from tests._distributed_trainer_worker import full_batch, tiny_experiment
+
+    port = _free_port()
+    coordinator = f"localhost:{port}"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    worker = os.path.join(REPO, "tests", "_distributed_trainer_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coordinator, "2", str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            cwd=REPO, env=env, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker {p.args} failed:\n{out}"
+    got = json.loads([l for l in outs[0].splitlines() if l.startswith("{")][-1])
+
+    # single-process reference in THIS pytest process (8 fake devices; use a
+    # 1x1 mesh so the math is the plain single-device step)
+    from jax.sharding import Mesh
+
+    from ctr_recommendation_tpu.training import Trainer
+
+    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1), ("data", "model"))
+    trainer = Trainer(
+        tiny_experiment("ref"), mesh=mesh, steps_per_epoch=1, log_fn=lambda s: None
+    )
+    state, metrics = trainer._train_step(
+        trainer.state, trainer.put_batch(full_batch()), jax.random.key(0)
+    )
+    want_loss = float(metrics["loss"])
+    want_norm = float(
+        np.linalg.norm(np.asarray(state.params["trunk"]["tables"]["item_id"]).ravel())
+    )
+    assert got["loss"] == pytest.approx(want_loss, abs=1e-5)
+    assert got["table_norm"] == pytest.approx(want_norm, rel=1e-6)
