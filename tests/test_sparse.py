@@ -310,3 +310,25 @@ def test_trainer_both_strategies_match_dense(tiny_experiment, monkeypatch, force
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(a, b, atol=2e-5), *results
     )
+
+
+def test_sparse_with_attention_pooling_model(tiny_experiment):
+    """sasrec_fibinet routes an extra target-aware lookup through the trunk;
+    the sparse step must still match the dense trajectory (the remapped
+    item_id feature serves both the field embedding and the attention
+    target)."""
+    rng = np.random.default_rng(17)
+    batches = [_labeled(make_batch(rng, 64), rng) for _ in range(2)]
+    results = []
+    for table_opt in ("dense", "adagrad"):
+        exp = _sparse_exp(tiny_experiment, table_opt)
+        exp = exp.replace(model=dataclasses.replace(exp.model, model="sasrec_fibinet"))
+        tr = Trainer(exp, total_steps=10, log_fn=lambda s: None)
+        key = jax.random.key(0)
+        for b in batches:
+            tr.state, m = tr._train_step(tr.state, tr.put_batch(b), key)
+        assert np.isfinite(float(m["loss"]))
+        results.append(jax.tree.map(np.asarray, tr.state.params))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=3e-5), *results
+    )
