@@ -53,7 +53,13 @@ class Predictor:
             }
 
         fm, cfg = self.fm, experiment.model
-        compute_dtype = jnp.dtype(experiment.train.compute_dtype)
+        # serving compute dtype mirrors the training tower: bf16 operands
+        # (fp32 accumulation) unless the model pins tower_dtype="float32"
+        compute_dtype = (
+            jnp.dtype(jnp.float32)
+            if cfg.tower_dtype == "float32"
+            else jnp.dtype(experiment.train.compute_dtype)
+        )
 
         # device-resident item join (see data/device_store.py)
         from ctr_recommendation_tpu.data.device_store import (
@@ -98,11 +104,12 @@ class Predictor:
                 x = trunk_mod.apply(
                     params["trunk"], fm, cfg, batch,
                     seq_pooling=seq_pooling, train=False,
-                    compute_dtype=jnp.float32,
+                    compute_dtype=compute_dtype,
                 )
                 return fused_score(
                     params["senet"], params["bilinear"], params["mlp"], x,
                     bilinear_type=cfg.bilinear_type,
+                    compute_dtype=compute_dtype,
                 )
 
         else:

@@ -38,38 +38,51 @@ def _kernel(
     w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     out_ref, concat_ref, *, num_fields, bilinear_type,
 ):
-    x = x_ref[:].astype(jnp.float32)  # (TB, F, E)
-    tb, f, e = x.shape
-    # --- SENet ---
-    z = jnp.mean(x, axis=-1)
+    # compute dtype = x_ref's dtype (bf16 by default at serving, matching
+    # the tower_dtype="compute" training/eval path); every MXU dot
+    # accumulates in fp32 via preferred_element_type, and the SENet gate +
+    # sigmoid head stay fp32. bf16 operands run the MXU at ~4-8x the fp32
+    # rate — the fp32 kernel at MicroLens serving shapes is compute-bound
+    # (26.8 GFLOP @ bs 8192, measured 177 us vs the ~270 us fp32
+    # speed-of-light), so this is where the headroom is.
+    cd = x_ref.dtype
+    x = x_ref[:]  # (TB, F*E) — 2-D so no sublane padding of the tiny F dim
+    tb = x.shape[0]
+    f, e = num_fields, x.shape[1] // num_fields
+    xs = [x[:, fi * e : (fi + 1) * e] for fi in range(f)]  # per-field (TB, E)
+    # --- SENet (tiny: F-wide matmuls; fp32) ---
+    z = jnp.stack(
+        [jnp.mean(xf.astype(jnp.float32), axis=-1) for xf in xs], axis=-1
+    )  # (TB, F)
     a = jnp.maximum(jnp.dot(z, sw1_ref[:], preferred_element_type=jnp.float32) + sb1_ref[:], 0.0)
     w = jax.nn.sigmoid(jnp.dot(a, sw2_ref[:], preferred_element_type=jnp.float32) + sb2_ref[:])
-    s = x * w[..., None]
+    s = [xs[fi] * w[:, fi : fi + 1].astype(cd) for fi in range(f)]
     # --- bilinear + concat into VMEM scratch ---
     i_idx, j_idx = pair_indices(num_fields)
     for fi in range(num_fields):
-        concat_ref[:, fi * e : (fi + 1) * e] = s[:, fi, :]
+        concat_ref[:, fi * e : (fi + 1) * e] = s[fi]
     base = num_fields * e
     if bilinear_type == "all":
-        v = jnp.dot(
-            s.reshape(tb * num_fields, e), wbi_ref[:], preferred_element_type=jnp.float32
-        ).reshape(tb, num_fields, e)
+        v = [
+            jnp.dot(s[fi], wbi_ref[:], preferred_element_type=jnp.float32).astype(cd)
+            for fi in range(num_fields)
+        ]
         for k, (i, j) in enumerate(zip(i_idx, j_idx)):
-            concat_ref[:, base + k * e : base + (k + 1) * e] = (
-                s[:, int(i), :] * v[:, int(j), :]
-            )
+            concat_ref[:, base + k * e : base + (k + 1) * e] = s[int(i)] * v[int(j)]
     else:
         vs = [
-            jnp.dot(s[:, fi, :], wbi_ref[fi], preferred_element_type=jnp.float32)
+            jnp.dot(s[fi], wbi_ref[fi], preferred_element_type=jnp.float32).astype(cd)
             for fi in range(num_fields - 1)
         ]
         for k, (i, j) in enumerate(zip(i_idx, j_idx)):
-            concat_ref[:, base + k * e : base + (k + 1) * e] = vs[int(i)] * s[:, int(j), :]
+            concat_ref[:, base + k * e : base + (k + 1) * e] = vs[int(i)] * s[int(j)]
     # --- folded tower ---
     c = concat_ref[:]
     h1 = jnp.maximum(jnp.dot(c, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:], 0.0)
-    h2 = jnp.maximum(jnp.dot(h1, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:], 0.0)
-    logit = jnp.dot(h2, w3_ref[:], preferred_element_type=jnp.float32) + b3_ref[:]
+    h2 = jnp.maximum(
+        jnp.dot(h1.astype(cd), w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:], 0.0
+    )
+    logit = jnp.dot(h2.astype(cd), w3_ref[:], preferred_element_type=jnp.float32) + b3_ref[:]
     out_ref[:] = jax.nn.sigmoid(logit)
 
 
@@ -80,11 +93,15 @@ def fused_score(
     x: jax.Array,
     *,
     bilinear_type: str = "all",
-    block_b: int = 256,
+    block_b: int = 512,
+    compute_dtype=jnp.float32,
 ) -> jax.Array:
     """x (B, F, E) -> click probabilities (B,). folded_mlp comes from
     ops.mlp.fold_batch_norm and must have exactly 2 hidden layers (the
-    reference tower, model_fibinet.py:125-135)."""
+    reference tower, model_fibinet.py:125-135). ``compute_dtype`` is the MXU
+    operand dtype (weights and activations; fp32 accumulation either way) —
+    serving passes bf16 when the model's tower_dtype is "compute", mirroring
+    the training tower."""
     if len(folded_mlp["layers"]) != 2:
         raise ValueError("fused_score expects a 2-hidden-layer tower")
     b, f, e = x.shape
@@ -96,6 +113,10 @@ def fused_score(
     if pad_b:
         x = jnp.pad(x, ((0, pad_b), (0, 0), (0, 0)))
     padded_b = b + pad_b
+    # 2-D (B, F*E) kernel input: row-major bitcast (free), and the tiny F
+    # dim never hits the sublane tile (F=6 would pad to 8 fp32 / 16 bf16
+    # sublanes as a 3-D block — measured 27% slower fp32, 70% slower bf16)
+    x = x.reshape(padded_b, f * e)
 
     fc1, fc2 = senet_params["fc1"], senet_params["fc2"]
     reduced = fc1["w"].shape[1]
@@ -115,7 +136,7 @@ def fused_score(
         out_shape=jax.ShapeDtypeStruct((padded_b, 1), jnp.float32),
         grid=(padded_b // block_b,),
         in_specs=[
-            pl.BlockSpec((block_b, f, e), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, f * e), lambda i: (i, 0), memory_space=pltpu.VMEM),
             const_spec(fc1["w"].shape),
             const_spec(sb1.shape),
             const_spec(fc2["w"].shape),
@@ -129,7 +150,7 @@ def fused_score(
             const_spec(l3["b"].shape),
         ],
         out_specs=pl.BlockSpec((block_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((block_b, cdim), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((block_b, cdim), jnp.dtype(compute_dtype))],
         cost_estimate=pl.CostEstimate(
             flops=2 * padded_b * (f * e * e + cdim * h1_dim + h1_dim * h2_dim + h2_dim),
             bytes_accessed=4 * (padded_b * f * e + cdim * h1_dim + padded_b),
@@ -137,12 +158,12 @@ def fused_score(
         ),
         interpret=_interpret(),
     )(
-        x.astype(jnp.float32),
+        x.astype(compute_dtype),
         fc1["w"].astype(jnp.float32), sb1.astype(jnp.float32),
         fc2["w"].astype(jnp.float32), sb2.astype(jnp.float32),
-        wbi.astype(jnp.float32),
-        l1["w"].astype(jnp.float32), l1["b"].astype(jnp.float32),
-        l2["w"].astype(jnp.float32), l2["b"].astype(jnp.float32),
-        l3["w"].astype(jnp.float32), l3["b"].astype(jnp.float32),
+        wbi.astype(compute_dtype),
+        l1["w"].astype(compute_dtype), l1["b"].astype(jnp.float32),
+        l2["w"].astype(compute_dtype), l2["b"].astype(jnp.float32),
+        l3["w"].astype(compute_dtype), l3["b"].astype(jnp.float32),
     )
     return out[:b, 0]

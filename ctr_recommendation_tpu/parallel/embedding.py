@@ -148,9 +148,12 @@ def sharded_lookup(
     data_axis: str = "data",
     method: str = "all_to_all",
     capacity_factor: float = DEFAULT_CAPACITY_FACTOR,
+    batch_dim: int = 0,
 ) -> jax.Array:
-    """table (V, E) sharded P(model, None); ids (B, ...) sharded P(data).
-    Returns rows (B, ..., E) sharded P(data)."""
+    """table (V, E) sharded P(model, None); ids sharded P(data) on axis
+    ``batch_dim`` (the trunk looks mean-pooled sequences up transposed as
+    (S, B) with batch_dim=1 — see models/trunk.py). Returns rows
+    (ids.shape..., E) sharded P(data) on the same axis."""
     mp = mesh.shape[model_axis]
     if mp == 1:
         return table[ids]
@@ -161,8 +164,10 @@ def sharded_lookup(
             "pad with round_up_vocab()"
         )
     rows_per = v // mp
-    id_spec = P(data_axis, *([None] * (ids.ndim - 1)))
-    out_spec = P(data_axis, *([None] * ids.ndim))
+    id_axes = [None] * ids.ndim
+    id_axes[batch_dim] = data_axis
+    id_spec = P(*id_axes)
+    out_spec = P(*id_axes, None)
 
     @functools.partial(
         shard_map,
@@ -201,7 +206,9 @@ def make_sharded_lookup(
 ):
     """A ``lookup(tables, name, ids)`` closure for models.trunk.apply."""
 
-    def lookup(tables: dict, name: str, ids: jax.Array, feature=None) -> jax.Array:
+    def lookup(
+        tables: dict, name: str, ids: jax.Array, feature=None, batch_dim=0
+    ) -> jax.Array:
         return sharded_lookup(
             tables[name],
             ids,
@@ -210,6 +217,7 @@ def make_sharded_lookup(
             data_axis=data_axis,
             method=method,
             capacity_factor=capacity_factor,
+            batch_dim=batch_dim,
         )
 
     return lookup

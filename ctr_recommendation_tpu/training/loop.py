@@ -308,7 +308,7 @@ class Trainer:
         # see docs/PERFORMANCE.md.)
 
         def loss_fn(params, rows):
-            def lookup(tbls, name, ids, feature=None):
+            def lookup(tbls, name, ids, feature=None, batch_dim=0):
                 # gathered tables read the row buffer (grads flow to `rows`)
                 if name in rows:
                     return rows[name][ids]

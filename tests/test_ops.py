@@ -82,6 +82,24 @@ def test_masked_mean_matches_reference_semantics():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_masked_mean_t_matches_untransposed():
+    """The transposed (S, B, E) layout (free-bitcast gather path,
+    models/trunk.py) is numerically identical to masked_mean."""
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, 5, size=(16, 8))
+    ids[3, :] = 0  # one fully-padded history
+    emb_table = rng.normal(size=(5, 12)).astype(np.float32)
+    seq_emb = emb_table[ids]  # (B, S, E)
+
+    want = np.asarray(pooling.masked_mean(jnp.asarray(seq_emb), jnp.asarray(ids)))
+    got = np.asarray(
+        pooling.masked_mean_t(
+            jnp.asarray(seq_emb.transpose(1, 0, 2)), jnp.asarray(ids.T)
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
 def test_batchnorm_matches_torch():
     torch = pytest.importorskip("torch")
     rng = np.random.default_rng(1)

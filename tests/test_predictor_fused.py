@@ -1,4 +1,12 @@
-"""Predictor with the fused Pallas scoring path == plain eval forward."""
+"""Predictor with the fused Pallas scoring path == plain eval forward.
+
+Two regimes:
+* tower_dtype="float32" — the fused kernel must match the plain forward to
+  fp32 tolerance (same math, different fusion).
+* tower_dtype="compute" (the default; serving runs bf16 MXU operands with
+  fp32 accumulation) — probabilities agree to bf16 rounding, and the
+  score ORDERING (what AUC measures) is preserved against the fp32 path.
+"""
 
 import dataclasses
 
@@ -10,24 +18,53 @@ from ctr_recommendation_tpu.models import build_model
 from tests.conftest import make_batch
 
 
-def test_fused_predictor_path_matches_plain(tiny_experiment, tiny_feature_map):
-    cfg = dataclasses.replace(tiny_experiment.model, use_pallas=True)
+def _setup(tiny_experiment, tiny_feature_map, tower_dtype):
+    cfg = dataclasses.replace(
+        tiny_experiment.model, use_pallas=True, tower_dtype=tower_dtype
+    )
     exp = tiny_experiment.replace(model=cfg)
     module, params, state = build_model(tiny_feature_map, cfg, jax.random.key(0))
     batch = make_batch(np.random.default_rng(3), 64)
-
     # move BN stats off init so folding is non-trivial
     _, state = module.apply(
         params, state, tiny_feature_map, cfg, batch, train=True, rng=jax.random.key(1)
     )
+    return exp, cfg, params, state, batch
 
+
+def test_fused_predictor_path_matches_plain_fp32(tiny_experiment, tiny_feature_map):
+    exp, cfg, params, state, batch = _setup(
+        tiny_experiment, tiny_feature_map, "float32"
+    )
     fused = Predictor(exp, params, state, fold_bn=True)
     plain = Predictor(
-        tiny_experiment.replace(
-            model=dataclasses.replace(cfg, use_pallas=False)
-        ),
+        exp.replace(model=dataclasses.replace(cfg, use_pallas=False)),
         params, state, fold_bn=False,
     )
     np.testing.assert_allclose(
         np.asarray(fused(batch)), np.asarray(plain(batch)), rtol=1e-4, atol=1e-5
     )
+
+
+def test_fused_predictor_bf16_close_and_order_preserving(
+    tiny_experiment, tiny_feature_map
+):
+    exp, cfg, params, state, batch = _setup(
+        tiny_experiment, tiny_feature_map, "compute"
+    )
+    fused16 = Predictor(exp, params, state, fold_bn=True)
+    plain32 = Predictor(
+        exp.replace(
+            model=dataclasses.replace(cfg, use_pallas=False, tower_dtype="float32")
+        ),
+        params, state, fold_bn=False,
+    )
+    p16 = np.asarray(fused16(batch))
+    p32 = np.asarray(plain32(batch))
+    # bf16 MXU operands, fp32 accumulation: probabilities within bf16 rounding
+    np.testing.assert_allclose(p16, p32, atol=2e-2)
+    # rank correlation (what AUC consumes) essentially unchanged
+    r16 = np.argsort(np.argsort(p16)).astype(np.float64)
+    r32 = np.argsort(np.argsort(p32)).astype(np.float64)
+    rho = np.corrcoef(r16, r32)[0, 1]
+    assert rho > 0.995, rho
