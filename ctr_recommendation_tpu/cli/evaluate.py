@@ -1,0 +1,102 @@
+"""Evaluate CLI — score a labeled split from a checkpoint, no training.
+
+The reference computes validation AUC only inside the training loop
+(src/train_fibinet.py:134-145); checking a saved model against a split means
+re-running training. This tool closes that gap: load the best export (or any
+checkpoint dir), score a labeled parquet split with the serving path
+(BatchNorm-folded tower, tolerant item join), and print AUC + logloss —
+the same exact tie-aware metrics the trainer's model selection uses
+(training/metrics.py, sklearn-parity tested).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="Evaluate a checkpoint on a labeled split")
+    p.add_argument("--data-root", required=True)
+    p.add_argument(
+        "--split",
+        default="valid",
+        help="split file stem under data-root (valid/test/train) or a parquet path",
+    )
+    p.add_argument("--model", default="mm_fibinet")
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--batch-size", type=int, default=8192)
+    args = p.parse_args(argv)
+
+    from ctr_recommendation_tpu.utils import compilation_cache
+
+    compilation_cache.enable()
+
+    import dataclasses
+    import os
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ctr_recommendation_tpu.config import microlens_experiment, serialize
+    from ctr_recommendation_tpu.data import ItemStore, iter_batches, load_split
+    from ctr_recommendation_tpu.features import build_feature_map
+    from ctr_recommendation_tpu.inference import Predictor
+    from ctr_recommendation_tpu.training import Trainer
+    from ctr_recommendation_tpu.training.metrics import auc, logloss
+
+    exp_json = os.path.join(args.checkpoint_dir, "experiment.json")
+    if os.path.exists(exp_json):
+        exp = serialize.load(exp_json)
+        root = args.data_root
+        exp = exp.replace(
+            dataset=dataclasses.replace(
+                exp.dataset,
+                data_root=root,
+                item_info=os.path.join(root, "item_info.parquet"),
+            ),
+            train=dataclasses.replace(exp.train, checkpoint_dir=args.checkpoint_dir),
+        )
+    else:
+        exp = microlens_experiment(
+            data_root=args.data_root,
+            model=args.model,
+            checkpoint_dir=args.checkpoint_dir,
+        )
+    fm = build_feature_map(exp.dataset)
+
+    split_path = (
+        args.split
+        if args.split.endswith(".parquet")
+        else os.path.join(args.data_root, f"{args.split}.parquet")
+    )
+    data = load_split(split_path, fm, include_label=True)
+    store = ItemStore.from_parquet(
+        exp.dataset.item_info,
+        id_col=exp.dataset.item_info_key,
+        emb_col=exp.dataset.item_info_emb_col,
+    )
+    print(f"[data] {split_path}: {data.num_rows} rows")
+
+    trainer = Trainer(exp, steps_per_epoch=1, log_fn=print)
+    trainer.load_best()
+    pred = Predictor(
+        exp, trainer.state.params, trainer.state.model_state, item_store=store
+    )
+
+    probs_all, labels_all = [], []
+    for batch in iter_batches(data, fm, args.batch_size):
+        probs = np.asarray(pred(batch))
+        w = np.asarray(batch.get("__weight__", np.ones(len(probs))))
+        probs_all.append(probs[w > 0])
+        labels_all.append(np.asarray(batch[fm.label])[w > 0])
+    probs = jnp.asarray(np.concatenate(probs_all))
+    labels = jnp.asarray(np.concatenate(labels_all))
+
+    a = float(auc(labels, probs))
+    ll = float(logloss(labels, probs))
+    print(f"[eval] rows={probs.shape[0]} AUC={a:.6f} logloss={ll:.6f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

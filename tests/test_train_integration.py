@@ -94,6 +94,19 @@ def test_train_learns_signal_and_resumes(setup):
         header = f.readline().strip()
     assert header == "ID,Task2"
 
+    # ---- evaluate CLI: checkpoint -> AUC/logloss on the valid split ----
+    from ctr_recommendation_tpu.cli import evaluate as evaluate_cli
+
+    rc = evaluate_cli.main(
+        [
+            "--data-root", str(root),
+            "--split", "valid",
+            "--checkpoint-dir", exp.train.checkpoint_dir,
+            "--batch-size", "256",
+        ]
+    )
+    assert rc == 0
+
 
 def test_bn_folded_predictor_matches_unfolded(setup):
     exp, fm, train, valid, test, store, root = setup
