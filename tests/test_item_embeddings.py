@@ -238,3 +238,30 @@ def test_vilt_encoder_contract_with_stubbed_transformers(monkeypatch, tmp_path):
     # None images replaced by placeholder PIL images before the processor
     assert all(s == (224, 224) for c in calls for s in c["sizes"][1:] ) or True
     assert calls[0]["sizes"][0] == (32, 32)
+
+
+def test_item_embeddings_cli_hash_with_images(tmp_path):
+    """The Task-1 CLI drives the full pipeline (text + image dir -> parquet
+    with a d128 contract column) using the hash encoder fallback."""
+    from ctr_recommendation_tpu.cli import item_embeddings as cli
+
+    src = _item_feature_table(tmp_path)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    _write_png(img_dir / "0.png", (0, 255, 0))
+    dst = str(tmp_path / "item_info_updated_emb.parquet")
+    rc = cli.main(
+        [
+            "--item-feature", src,
+            "--output", dst,
+            "--image-dir", str(img_dir),
+            "--encoder", "hash",
+            "--dims", "16",
+        ]
+    )
+    assert rc == 0
+    out = pq.read_table(dst)
+    emb = np.asarray(out.column("item_emb_d128").to_pylist(), dtype=np.float32)
+    assert emb.shape == (6, 16)
+    norms = np.linalg.norm(emb, axis=1)
+    np.testing.assert_allclose(norms[norms > 0], 1.0, rtol=1e-4)
