@@ -168,13 +168,31 @@ def run_training(
         if exp.mesh.model_parallel > 1 and not sparse_tables
         else None
     )
-    spe = max(train_rows // bs, 1)
+    import itertools
+
+    from ctr_recommendation_tpu.parallel import distributed
+
+    n_hosts, host = distributed.host_count(), distributed.host_id()
+    if stream:
+        from ctr_recommendation_tpu.data.streaming import common_step_count
+
+        # every host runs the same number of steps per epoch (unequal
+        # row-group assignment would deadlock the slower hosts' collectives)
+        steps = max(common_step_count(exp.dataset.train_data, bs, n_hosts), 1)
+    elif n_hosts > 1:
+        # disjoint per-host shard — each global batch must contain every
+        # example once, not host_count duplicates of the same rows — with a
+        # lockstep step count (shards can differ by up to n_hosts-1 rows)
+        train = train.shard(host, n_hosts)
+        steps = max((train_rows // n_hosts) // bs, 1)
+    else:
+        steps = max(train_rows // bs, 1)
     # Default: item join happens ON DEVICE inside the jitted step (batches
     # carry only ids). strict mode needs the host-side check, so it keeps
     # the host join (reference training semantics, dataloader.py:104-106).
     host_store = store if strict_items else None
     trainer = Trainer(
-        exp, mesh=mesh, steps_per_epoch=spe, lookup=lookup,
+        exp, mesh=mesh, steps_per_epoch=steps, lookup=lookup,
         item_store=None if strict_items else store,
     )
 
@@ -189,25 +207,26 @@ def run_training(
         return 0
 
     if stream:
-        from ctr_recommendation_tpu.data import stream_batches
-        from ctr_recommendation_tpu.parallel import distributed
+        from ctr_recommendation_tpu.data.streaming import stream_batches
 
         def train_batches(epoch):
-            return stream_batches(
+            it = stream_batches(
                 exp.dataset.train_data, fm, bs,
                 shuffle=exp.train.shuffle, seed=exp.train.seed, epoch=epoch,
-                host_index=distributed.host_id(), host_count=distributed.host_count(),
-                item_store=host_store, drop_last=True,
+                host_index=host, host_count=n_hosts,
+                item_store=host_store, drop_last=True, strict_items=strict_items,
             )
+            return itertools.islice(it, steps)
 
     else:
 
         def train_batches(epoch):
-            return iter_batches(
-                train, fm, bs, shuffle=exp.train.shuffle, seed=exp.train.seed,
-                epoch=epoch, item_store=host_store, drop_last=True,
-                strict_items=strict_items,
+            it = iter_batches(
+                train, fm, bs, shuffle=exp.train.shuffle,
+                seed=exp.train.seed + host, epoch=epoch, item_store=host_store,
+                drop_last=True, strict_items=strict_items,
             )
+            return itertools.islice(it, steps)
 
     def valid_batches():
         return iter_batches(valid, fm, exp.train.eval_batch_size, item_store=host_store)

@@ -35,7 +35,8 @@ _MICROLENS_FEATURE_OVERRIDES: dict[str, dict[str, Any]] = {
     "item_seq": {"type": "sequence", "share_embedding": "item_id"},
     "likes_level": {},
     "views_level": {"share_embedding": "likes_level"},
-    "item_emb_d128": {"type": "dense_embedding", "dense_dim": 128},
+    "item_emb_d128": {"type": "dense_embedding", "dense_dim": 128, "source": "item"},
+    "item_id": {"source": "item"},
 }
 
 # The reference's forward pass stacks fields in this order —
@@ -69,10 +70,15 @@ _TYPE_ALIASES = {
 }
 
 
-def _parse_feature(col: Mapping[str, Any], max_len: int | None) -> FeatureSpec | None:
+def _parse_feature(
+    col: Mapping[str, Any], max_len: int | None, *, microlens: bool = False
+) -> FeatureSpec | None:
     name = col["name"]
     merged = dict(col)
-    merged.update(_MICROLENS_FEATURE_OVERRIDES.get(name, {}))
+    if microlens:
+        # only the MicroLens dataset gets the reference's hardcoded feature
+        # treatment; other datasets' YAML declarations are honored as written
+        merged.update(_MICROLENS_FEATURE_OVERRIDES.get(name, {}))
     ftype = _TYPE_ALIASES[str(merged.get("type", "categorical")).lower()]
     if not merged.get("active", True):
         return None
@@ -164,10 +170,11 @@ def load_experiment(
     exp_raw.setdefault("checkpoint_dir", base_raw.get("model_root", "checkpoints"))
 
     max_len = exp_raw.get("max_len")
+    microlens = str(dataset_id or "").startswith("MicroLens")
     features = tuple(
         f
         for col in ds_raw.get("feature_cols", [])
-        if (f := _parse_feature(col, max_len)) is not None
+        if (f := _parse_feature(col, max_len, microlens=microlens)) is not None
     )
     features = _canonical_field_order(features, ds_raw.get("field_order"))
     label_col = ds_raw.get("label_col", {"name": "label"})

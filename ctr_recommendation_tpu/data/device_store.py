@@ -51,6 +51,10 @@ def dense_join_plan(feature_map) -> list[tuple[str, str]]:
 
     plans = []
     for f in feature_map.features_of_type(FeatureType.DENSE_EMBEDDING):
+        if f.source is None:
+            # no source tag -> no join key; the dense feature must arrive in
+            # the batch itself (never silently join on an unrelated id column)
+            continue
         id_key = None
         for g in feature_map.features:
             if g.type == FeatureType.CATEGORICAL and g.source == f.source:

@@ -49,6 +49,25 @@ def _record_batch_to_columns(rb, feature_map: FeatureMap, include_label: bool):
     return cols
 
 
+def common_step_count(path: str, batch_size: int, host_count: int = 1) -> int:
+    """Per-epoch batch count every host can safely run in lockstep.
+
+    Round-robin row-group assignment gives hosts different row counts, so
+    their ``stream_batches(drop_last=True)`` iterators yield different batch
+    counts — and under multi-controller training a host that exits its batch
+    loop early deadlocks the others inside the next step's collectives. All
+    row-group sizes live in the (shared) parquet footer, so every host can
+    deterministically compute min_h floor(rows_h / batch_size) and truncate
+    its iterator to it (cli/train.py does this via itertools.islice)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    rows_per_host = [0] * max(host_count, 1)
+    for g in range(md.num_row_groups):
+        rows_per_host[g % host_count] += md.row_group(g).num_rows
+    return min(r // batch_size for r in rows_per_host)
+
+
 def stream_batches(
     path: str,
     feature_map: FeatureMap,
@@ -63,6 +82,7 @@ def stream_batches(
     include_label: bool = True,
     item_store=None,
     drop_last: bool = False,
+    strict_items: bool = False,
 ) -> Iterator[dict[str, np.ndarray]]:
     """Yield fixed-shape batch dicts without loading the split into RAM."""
     import pyarrow.parquet as pq
@@ -109,7 +129,7 @@ def stream_batches(
                 weight = np.ones(batch_size, np.float32)
             batch = {k: v[idx] for k, v in cols.items()}
             if id_key is not None:
-                joined = item_store.lookup(batch[id_key])
+                joined = item_store.lookup(batch[id_key], strict=strict_items)
                 for f in dense_feats:
                     batch[f.name] = joined
             batch["__weight__"] = weight

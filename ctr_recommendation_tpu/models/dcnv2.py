@@ -49,6 +49,7 @@ def apply(
     rng: jax.Array | None = None,
     compute_dtype=jnp.float32,
     lookup=None,
+    weight: jax.Array | None = None,
 ) -> tuple[jax.Array, dict]:
     x = trunk.apply(
         params["trunk"], fm, cfg, batch,
@@ -62,7 +63,7 @@ def apply(
     rng_mlp = None if rng is None else jax.random.fold_in(rng, 1)
     deep, mlp_state = mlp_ops.apply(
         params["mlp"], state["mlp"], flat,
-        train=train, dropout_rate=cfg.net_dropout, rng=rng_mlp,
+        train=train, dropout_rate=cfg.net_dropout, rng=rng_mlp, weight=weight,
     )
     h = jnp.concatenate([crossed, deep], axis=-1)
     logit = linear_apply(params["out"], h)[..., 0]

@@ -56,6 +56,7 @@ def apply(
     rng: jax.Array | None = None,
     compute_dtype=jnp.float32,
     lookup=None,
+    weight: jax.Array | None = None,
 ) -> tuple[jax.Array, dict]:
     x = trunk.apply(
         params["trunk"], fm, cfg, batch,
@@ -75,7 +76,7 @@ def apply(
     b = x.shape[0]
     deep, mlp_state = mlp_ops.apply(
         params["mlp"], state["mlp"], x.reshape(b, -1).astype(td),
-        train=train, dropout_rate=cfg.net_dropout, rng=rng_mlp,
+        train=train, dropout_rate=cfg.net_dropout, rng=rng_mlp, weight=weight,
     )
     logits = first + second + deep[..., 0].astype(jnp.float32)
     return logits, {"mlp": mlp_state}

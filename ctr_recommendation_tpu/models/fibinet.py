@@ -50,6 +50,7 @@ def apply(
     rng: jax.Array | None = None,
     compute_dtype=jnp.float32,
     lookup=None,
+    weight: jax.Array | None = None,
 ) -> tuple[jax.Array, dict]:
     x = trunk.apply(
         params["trunk"], fm, cfg, batch,
@@ -64,6 +65,6 @@ def apply(
     td = jnp.float32 if cfg.tower_dtype == "float32" else compute_dtype
     logits, mlp_state = mlp_ops.apply(
         params["mlp"], state["mlp"], h.astype(td),
-        train=train, dropout_rate=cfg.net_dropout, rng=rng_mlp,
+        train=train, dropout_rate=cfg.net_dropout, rng=rng_mlp, weight=weight,
     )
     return logits[..., 0].astype(jnp.float32), {"mlp": mlp_state}

@@ -76,6 +76,7 @@ def apply(
     rng: jax.Array | None = None,
     compute_dtype=jnp.float32,
     lookup=None,
+    weight: jax.Array | None = None,
 ) -> tuple[jax.Array, dict]:
     x = trunk.apply(
         params["trunk"], fm, cfg, batch,
@@ -88,11 +89,11 @@ def apply(
     r2 = None if rng is None else jax.random.fold_in(rng, 2)
     s1, st1 = mlp_ops.apply(
         params["stream1"], state["stream1"], flat * _gate(params["gate1"], flat),
-        train=train, dropout_rate=cfg.net_dropout, rng=r1,
+        train=train, dropout_rate=cfg.net_dropout, rng=r1, weight=weight,
     )
     s2, st2 = mlp_ops.apply(
         params["stream2"], state["stream2"], flat * _gate(params["gate2"], flat),
-        train=train, dropout_rate=cfg.net_dropout, rng=r2,
+        train=train, dropout_rate=cfg.net_dropout, rng=r2, weight=weight,
     )
     h = cfg.finalmlp_num_heads
     s1h = s1.reshape(b, h, -1)

@@ -43,6 +43,7 @@ def apply(
     rng: jax.Array | None = None,
     compute_dtype=jnp.float32,
     lookup=None,
+    weight: jax.Array | None = None,
 ) -> tuple[jax.Array, dict]:
     x = trunk.apply(
         params["trunk"], fm, cfg, batch,
@@ -54,7 +55,7 @@ def apply(
     td = jnp.float32 if cfg.tower_dtype == "float32" else compute_dtype
     dnn_logit, mlp_state = mlp_ops.apply(
         params["mlp"], state["mlp"], x.reshape(b, -1).astype(td),
-        train=train, dropout_rate=cfg.net_dropout, rng=rng_mlp,
+        train=train, dropout_rate=cfg.net_dropout, rng=rng_mlp, weight=weight,
     )
     cin_logit = cin_ops.apply(params["cin"], x).astype(dnn_logit.dtype)
     return (dnn_logit + cin_logit)[..., 0].astype(jnp.float32), {"mlp": mlp_state}

@@ -52,14 +52,25 @@ def init(
     return params, state
 
 
-def _batch_norm(layer, st, h, train: bool):
+def _batch_norm(layer, st, h, train: bool, weight=None):
     if train:
         # statistics always in fp32 (stable even when the tower runs bf16)
         h32 = h.astype(jnp.float32)
-        mean = jnp.mean(h32, axis=0)
-        var = jnp.var(h32, axis=0)  # biased, used for normalization
-        n = h.shape[0]
-        unbiased = var * (n / max(n - 1, 1))
+        if weight is not None:
+            # exclude zero-weight padded rows from the batch statistics
+            # (the final partial batch pads with duplicated rows; unweighted
+            # mean/var would skew both the step's normalization and the
+            # running stats)
+            w = weight.astype(jnp.float32)[:, None]
+            n_eff = jnp.maximum(jnp.sum(w), 1.0)
+            mean = jnp.sum(h32 * w, axis=0) / n_eff
+            var = jnp.sum(w * jnp.square(h32 - mean), axis=0) / n_eff
+            unbiased = var * (n_eff / jnp.maximum(n_eff - 1.0, 1.0))
+        else:
+            mean = jnp.mean(h32, axis=0)
+            var = jnp.var(h32, axis=0)  # biased, used for normalization
+            n = h.shape[0]
+            unbiased = var * (n / max(n - 1, 1))
         new_st = {
             "bn_mean": (1 - BN_MOMENTUM) * st["bn_mean"] + BN_MOMENTUM * mean,
             "bn_var": (1 - BN_MOMENTUM) * st["bn_var"] + BN_MOMENTUM * unbiased,
@@ -81,14 +92,18 @@ def apply(
     train: bool = False,
     dropout_rate: float = 0.0,
     rng: jax.Array | None = None,
+    weight: jax.Array | None = None,
 ) -> tuple[jax.Array, dict]:
-    """x: (B, in_dim) -> (logits (B, out_dim), new_state)."""
+    """x: (B, in_dim) -> (logits (B, out_dim), new_state).
+
+    ``weight``: optional (B,) 0/1 row mask; zero-weight (padded) rows are
+    excluded from BatchNorm batch statistics."""
     h = x
     new_layers = []
     for li, (layer, st) in enumerate(zip(params["layers"], state["layers"])):
         h = linear_apply(layer["linear"], h)
         if "bn_scale" in layer:
-            h, st = _batch_norm(layer, st, h, train)
+            h, st = _batch_norm(layer, st, h, train, weight)
         h = jax.nn.relu(h)
         if train and dropout_rate > 0.0:
             if rng is None:

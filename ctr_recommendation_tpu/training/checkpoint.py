@@ -64,12 +64,27 @@ class CheckpointManager:
         import json
         import shutil
 
+        # Under multi-controller training the orbax save itself is
+        # coordinated, but the host-side rmtree/rename swap must run on
+        # exactly one process (the checkpoint dir is shared) — two processes
+        # racing the renames would crash the second one mid-epoch.
+        primary = jax.process_index() == 0
+        multiprocess = jax.process_count() > 1
+
+        def _barrier(tag: str) -> None:
+            if multiprocess:
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices(f"save_best_{tag}_{step}")
+
         path = os.path.join(self._best_dir, "export")
         tmp = path + ".tmp"
         old = path + ".old"
-        for stale in (tmp, old):
-            if os.path.exists(stale):
-                shutil.rmtree(stale)
+        if primary:
+            for stale in (tmp, old):
+                if os.path.exists(stale):
+                    shutil.rmtree(stale)
+        _barrier("pre")
         self._best_ckpt.save(
             tmp,
             {
@@ -80,14 +95,17 @@ class CheckpointManager:
             },
         )
         self._best_ckpt.wait_until_finished()
-        if os.path.exists(path):
-            os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old, ignore_errors=True)
-        meta = os.path.join(self._best_dir, "metric.json")
-        with open(meta + ".tmp", "w") as f:
-            json.dump({"metric": float(metric), "step": int(step)}, f)
-        os.replace(meta + ".tmp", meta)
+        _barrier("saved")
+        if primary:
+            if os.path.exists(path):
+                os.rename(path, old)
+            os.rename(tmp, path)
+            shutil.rmtree(old, ignore_errors=True)
+            meta = os.path.join(self._best_dir, "metric.json")
+            with open(meta + ".tmp", "w") as f:
+                json.dump({"metric": float(metric), "step": int(step)}, f)
+            os.replace(meta + ".tmp", meta)
+        _barrier("done")
 
     def best_metric(self) -> float | None:
         """Monitored metric of the current best export (None if no export)."""

@@ -104,18 +104,17 @@ class Trainer:
             else None
         )
         # checkpoints are self-describing: persist the experiment so predict
-        # can rebuild the exact model (config/serialize.py)
-        try:
-            import os
+        # can rebuild the exact model (config/serialize.py). Written here only
+        # if absent — predict/evaluate construct Trainers with locally rewritten
+        # paths and must not clobber the training run's provenance; fit /
+        # fit_on_device refresh it at training start.
+        import os as _os2
 
-            from ctr_recommendation_tpu.config import serialize
-
-            serialize.save(
-                self.exp,
-                os.path.join(checkpoint_dir or tc.checkpoint_dir, "experiment.json"),
-            )
-        except OSError:
-            pass
+        self._experiment_json = _os2.path.join(
+            checkpoint_dir or tc.checkpoint_dir, "experiment.json"
+        )
+        if not _os2.path.exists(self._experiment_json):
+            self._save_experiment()
 
         da, ma = experiment.mesh.data_axis, experiment.mesh.model_axis
         self._batch_sharding = NamedSharding(self.mesh, P(da))
@@ -243,7 +242,7 @@ class Trainer:
             logits, new_mstate = module.apply(
                 params, state.model_state, fm, cfg, feats,
                 train=True, rng=step_rng, compute_dtype=self._compute_dtype,
-                lookup=self.lookup,
+                lookup=self.lookup, weight=weight,
             )
             return bce_with_logits(logits, labels, weight), new_mstate
 
@@ -317,7 +316,7 @@ class Trainer:
             logits, new_mstate = module.apply(
                 params, state.model_state, fm, cfg, feats,
                 train=True, rng=step_rng, compute_dtype=self._compute_dtype,
-                lookup=lookup,
+                lookup=lookup, weight=weight,
             )
             return bce_with_logits(logits, labels, weight), new_mstate
 
@@ -452,6 +451,34 @@ class Trainer:
             )
         return jax.device_put(batch, self._batch_sharding)
 
+    def _save_experiment(self) -> None:
+        try:
+            from ctr_recommendation_tpu.config import serialize
+
+            serialize.save(self.exp, self._experiment_json)
+        except OSError:
+            pass
+
+    def _seed_history(self, start_epoch: int) -> None:
+        """On resume, reload the persisted per-epoch rows (epoch <=
+        start_epoch) so the rewritten metrics.csv keeps the pre-preemption
+        epochs instead of erasing them."""
+        import csv
+        import os
+
+        if self.history:
+            return
+        path = os.path.join(self.exp.train.checkpoint_dir, "metrics.csv")
+        try:
+            with open(path, newline="") as f:
+                rows = list(csv.DictReader(f))
+        except OSError:
+            return
+        for r in rows:
+            parsed = {k: float(v) for k, v in r.items() if v not in (None, "")}
+            if parsed.get("epoch", 0) <= start_epoch:
+                self.history.append(parsed)
+
     def _seed_best(self, best: float) -> float:
         """On resume, continue the best-tracker from the persisted export's
         metric so a worse post-resume epoch cannot overwrite the best export."""
@@ -474,6 +501,7 @@ class Trainer:
     ) -> list[dict[str, float]]:
         """train_batches(epoch) -> iterator of numpy batch dicts."""
         tc = self.exp.train
+        self._save_experiment()  # training owns the checkpoint's provenance
         rng = jax.device_put(jax.random.key(tc.seed + 1), self._repl_sharding)
         best = -np.inf if tc.monitor_mode == "max" else np.inf
         start_epoch = 0
@@ -486,9 +514,11 @@ class Trainer:
                 start_epoch = int(latest)
                 self.log(f"[resume] epoch {start_epoch} step {int(self.state.step)}")
             best = self._seed_best(best)
+            self._seed_history(start_epoch)  # keeps metrics.csv complete
 
         from ctr_recommendation_tpu.data.prefetch import prefetch
 
+        run_start = len(self.history)
         for epoch in range(start_epoch, tc.epochs):
             self._epoch = epoch
             t0 = time.time()
@@ -552,7 +582,7 @@ class Trainer:
             self.history.append(entry)
             self._write_history_csv()
         self.log(f"Done. Best {tc.monitor}: {best:.4f}")
-        return self.history
+        return self.history[run_start:]
 
     def _write_history_csv(self) -> None:
         """Structured metric log (SURVEY §5.5: the reference only prints;
@@ -616,6 +646,7 @@ class Trainer:
         only.
         """
         tc = self.exp.train
+        self._save_experiment()  # training owns the checkpoint's provenance
         bs = tc.batch_size
         n = train.num_rows
         steps = n // bs
@@ -639,7 +670,9 @@ class Trainer:
                 start_epoch = int(latest)
                 self.log(f"[resume] epoch {start_epoch} step {int(self.state.step)}")
             best = self._seed_best(best)
+            self._seed_history(start_epoch)  # keeps metrics.csv complete
 
+        run_start = len(self.history)
         for epoch in range(start_epoch, tc.epochs):
             t0 = time.time()
             if tc.shuffle:
@@ -685,7 +718,7 @@ class Trainer:
             self.history.append(entry)
             self._write_history_csv()
         self.log(f"Done. Best {tc.monitor}: {best:.4f}")
-        return self.history
+        return self.history[run_start:]
 
     def _prepare_eval_split(self, table, batch_size: int):
         """Pad to a batch multiple, upload once, build the jitted eval scan."""
@@ -731,14 +764,28 @@ class Trainer:
         feats_only = {k: v for k, v in cols.items() if k != fm.label}
         return {"fn": eval_scan, "data": feats_only, "labels": labels, "weight": weight}
 
+    def _metrics_from(self, labels, probs, weight) -> dict[str, float]:
+        """AUC (exact sort-based, or histogram-binned when
+        ``num_eval_threshold_bins`` is set) + logloss, all on device."""
+        nbins = self.exp.train.num_eval_threshold_bins
+        if nbins:
+            hp = jnp.zeros((nbins,))
+            hn = jnp.zeros((nbins,))
+            hp, hn = metrics_lib.binned_auc_update(
+                hp, hn, labels, probs, weight, num_bins=nbins
+            )
+            auc_v = metrics_lib.binned_auc_finalize(hp, hn)
+        else:
+            auc_v = metrics_lib.auc(labels, probs, weight)
+        ll = metrics_lib.logloss(labels, probs, weight)
+        return {"auc": float(auc_v), "logloss": float(ll)}
+
     def _evaluate_prepared(self, prepared) -> dict[str, float]:
         probs = prepared["fn"](
             self.state.params, self.state.model_state, prepared["data"],
             self._mm_tables,
         )
-        auc_v = metrics_lib.auc(prepared["labels"], probs, prepared["weight"])
-        ll = metrics_lib.logloss(prepared["labels"], probs, prepared["weight"])
-        return {"auc": float(auc_v), "logloss": float(ll)}
+        return self._metrics_from(prepared["labels"], probs, prepared["weight"])
 
     def evaluate_table(self, table, batch_size: int | None = None) -> dict[str, float]:
         """AUC/logloss over a TableData split, fully on device."""
@@ -759,18 +806,7 @@ class Trainer:
         probs = jnp.concatenate(probs_l)
         labels = jnp.concatenate(labels_l)
         weight = jnp.concatenate(w_l)
-        nbins = self.exp.train.num_eval_threshold_bins
-        if nbins:
-            hp = jnp.zeros((nbins,))
-            hn = jnp.zeros((nbins,))
-            hp, hn = metrics_lib.binned_auc_update(
-                hp, hn, labels, probs, weight, num_bins=nbins
-            )
-            auc_v = metrics_lib.binned_auc_finalize(hp, hn)
-        else:
-            auc_v = metrics_lib.auc(labels, probs, weight)
-        ll = metrics_lib.logloss(labels, probs, weight)
-        return {"auc": float(auc_v), "logloss": float(ll)}
+        return self._metrics_from(labels, probs, weight)
 
     # ------------------------------------------------------------------ infer
     def predict(self, batches: Iterator[dict]) -> np.ndarray:
