@@ -90,8 +90,11 @@ class CheckpointManager:
             {
                 "params": params,
                 "model_state": model_state,
-                "metric": jax.numpy.asarray(metric),
-                "step": jax.numpy.asarray(step),
+                # numpy (not jax) scalars: orbax treats host numpy values
+                # as replicated and serializes them fine in multi-host runs,
+                # where a host-local jax scalar is rejected
+                "metric": __import__("numpy").asarray(metric, dtype="float32"),
+                "step": __import__("numpy").asarray(step, dtype="int32"),
             },
         )
         self._best_ckpt.wait_until_finished()
@@ -131,8 +134,8 @@ class CheckpointManager:
             target={
                 "params": params_target,
                 "model_state": state_target,
-                "metric": jax.numpy.zeros(()),
-                "step": jax.numpy.zeros((), jax.numpy.int32),
+                "metric": __import__("numpy").zeros((), "float32"),
+                "step": __import__("numpy").zeros((), "int32"),
             },
         )
         return restored["params"], restored["model_state"]

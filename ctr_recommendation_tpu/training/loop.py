@@ -451,6 +451,16 @@ class Trainer:
             )
         return jax.device_put(batch, self._batch_sharding)
 
+    def _replicated_key(self, seed: int):
+        """Epoch rng, safe under multi-controller: device_put with a global
+        replicated sharding is illegal there (non-addressable devices), but a
+        host-side key passed into jit is lifted as replicated on every
+        process — valid because all processes derive it from the same seed."""
+        key = jax.random.key(seed)
+        if jax.process_count() == 1:
+            return jax.device_put(key, self._repl_sharding)
+        return key
+
     def _save_experiment(self) -> None:
         try:
             from ctr_recommendation_tpu.config import serialize
@@ -502,7 +512,7 @@ class Trainer:
         """train_batches(epoch) -> iterator of numpy batch dicts."""
         tc = self.exp.train
         self._save_experiment()  # training owns the checkpoint's provenance
-        rng = jax.device_put(jax.random.key(tc.seed + 1), self._repl_sharding)
+        rng = self._replicated_key(tc.seed + 1)
         best = -np.inf if tc.monitor_mode == "max" else np.inf
         start_epoch = 0
 
@@ -609,8 +619,10 @@ class Trainer:
 
     # -------------------------------------------------------- device-resident
     def _upload_split(self, table, include_label: bool = True) -> dict:
+        from ctr_recommendation_tpu.parallel.sharding import put_global
+
         cols = {
-            k: jax.device_put(v, self._repl_sharding)
+            k: put_global(v, self._repl_sharding)
             for k, v in table.columns.items()
             if include_label or k != self.fm.label
         }
@@ -658,7 +670,7 @@ class Trainer:
         if valid is not None:
             valid_data = self._prepare_eval_split(valid, tc.eval_batch_size)
 
-        rng = jax.device_put(jax.random.key(tc.seed + 1), self._repl_sharding)
+        rng = self._replicated_key(tc.seed + 1)
         perm_key = jax.random.key(tc.seed + 2)
         best = -np.inf if tc.monitor_mode == "max" else np.inf
         start_epoch = 0

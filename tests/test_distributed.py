@@ -134,3 +134,56 @@ def test_two_process_trainer_step_matches_single_process():
     )
     assert got["loss"] == pytest.approx(want_loss, abs=1e-5)
     assert got["table_norm"] == pytest.approx(want_norm, rel=1e-6)
+
+
+def test_two_process_streaming_cli_uneven_row_groups(tmp_path):
+    """End-to-end run_training(stream=True) across 2 real processes where the
+    train parquet's row groups divide unevenly between the hosts (600 vs 400
+    rows). Regression for the epoch-end deadlock: every host must run the
+    common step count min_h floor(rows_h / bs) and finish both epochs."""
+    import pyarrow.parquet as pq
+
+    from ctr_recommendation_tpu.data import write_synthetic_dataset
+
+    root = str(tmp_path / "data")
+    write_synthetic_dataset(
+        root, num_rows=1334, num_items=200, max_len=8, mm_dim=16, seed=5
+    )
+    # rewrite train.parquet into 400-row groups: ~1001 train rows -> groups of
+    # 400/400/~201 -> host0 gets ~601 rows, host1 gets 400 (uneven on purpose)
+    train_path = os.path.join(root, "train.parquet")
+    table = pq.read_table(train_path)
+    assert 1000 <= table.num_rows < 1200, table.num_rows
+    pq.write_table(table, train_path, row_group_size=400)
+    assert pq.ParquetFile(train_path).metadata.num_row_groups == 3
+
+    port = _free_port()
+    coordinator = f"localhost:{port}"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    worker = os.path.join(REPO, "tests", "_distributed_stream_worker.py")
+    ckpt = str(tmp_path / "ckpt")  # shared dir: orbax coordinates the save
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coordinator, "2", str(pid), root, ckpt],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            cwd=REPO, env=env, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker {p.args} failed:\n{out}"
+    # each host ran exactly the common step count: 4 steps x 200-row global
+    # batches = 800 global rows per epoch (NOT 6 steps, which the 600-row
+    # host would have run pre-fix — and deadlocked on)
+    for out in outs:
+        assert out.count("(800/") == 2, out  # both epochs
