@@ -164,7 +164,7 @@ def run_training(
     # explicit all-to-all lookup
     sparse_tables = exp.train.table_optimizer != "dense"
     lookup = (
-        make_sharded_lookup(mesh)
+        make_sharded_lookup(mesh, feature_map=fm)
         if exp.mesh.model_parallel > 1 and not sparse_tables
         else None
     )

@@ -43,6 +43,21 @@ class DeviceItemStore:
         return jnp.where(oob[..., None], 0.0, rows)
 
 
+def device_join(
+    feats: dict, mm_tables: dict, join_plan: list[tuple[str, str]]
+) -> dict:
+    """In-jit item join (shared by Trainer and Predictor): dense features
+    gathered from the device-resident item matrix by id, zeros for
+    out-of-range ids (tolerant semantics, Prediction.py:39-42)."""
+    for dense_name, id_key in join_plan:
+        if dense_name in feats or dense_name not in mm_tables:
+            continue
+        feats[dense_name] = DeviceItemStore(mm_tables[dense_name]).lookup(
+            feats[id_key].astype(jnp.int32)
+        )
+    return feats
+
+
 def dense_join_plan(feature_map) -> list[tuple[str, str]]:
     """[(dense_feature_name, id_feature_name)] pairs for the on-device join —
     dense features joined on the categorical feature sharing their source

@@ -53,37 +53,37 @@ class Predictor:
             }
 
         fm, cfg = self.fm, experiment.model
-        # serving compute dtype mirrors the training tower: bf16 operands
-        # (fp32 accumulation) unless the model pins tower_dtype="float32"
-        compute_dtype = (
+        # Serving dtypes MIRROR the trainer's eval step exactly so the
+        # evaluate CLI reproduces the AUC/logloss the trainer selected on:
+        # the trunk always runs at train.compute_dtype; the model pins its
+        # own tower to fp32 when tower_dtype="float32" (models/*.py td), and
+        # the fused kernel gets the matching tower dtype below.
+        compute_dtype = jnp.dtype(experiment.train.compute_dtype)
+        tower_dtype = (
             jnp.dtype(jnp.float32)
             if cfg.tower_dtype == "float32"
-            else jnp.dtype(experiment.train.compute_dtype)
+            else compute_dtype
         )
 
-        # device-resident item join (see data/device_store.py)
+        # device-resident item join (see data/device_store.py); the matrix is
+        # uploaded ONCE and shared by every plan entry
         from ctr_recommendation_tpu.data.device_store import (
             DeviceItemStore,
             dense_join_plan,
+            device_join as _device_join,
         )
 
         self._join_plan = dense_join_plan(fm)
         self._mm_tables: dict[str, jax.Array] = {}
-        if item_store is not None:
+        if item_store is not None and self._join_plan:
+            emb = DeviceItemStore.from_host(item_store).emb
             for dense_name, _ in self._join_plan:
-                self._mm_tables[dense_name] = DeviceItemStore.from_host(item_store).emb
+                self._mm_tables[dense_name] = emb
+
+        join_plan = self._join_plan
 
         def device_join(feats, mm_tables):
-            for dense_name, id_key in self._join_plan:
-                if dense_name in feats or dense_name not in mm_tables:
-                    continue
-                emb = mm_tables[dense_name]
-                ids = feats[id_key].astype(jnp.int32)
-                v = emb.shape[0]
-                rows = emb[jnp.clip(ids, 0, v - 1)]
-                oob = (ids < 0) | (ids >= v)
-                feats[dense_name] = jnp.where(oob[..., None], 0.0, rows)
-            return feats
+            return _device_join(feats, mm_tables, join_plan)
 
         use_fused = (
             cfg.use_pallas
@@ -109,7 +109,7 @@ class Predictor:
                 return fused_score(
                     params["senet"], params["bilinear"], params["mlp"], x,
                     bilinear_type=cfg.bilinear_type,
-                    compute_dtype=compute_dtype,
+                    compute_dtype=tower_dtype,
                 )
 
         else:

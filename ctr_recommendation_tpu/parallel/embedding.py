@@ -80,24 +80,39 @@ def _psum_lookup_local(tbl, flat_ids, *, rows_per, model_axis):
 
 
 def _all_to_all_lookup_local(
-    tbl, flat_ids, *, rows_per, mp, cap, model_axis
+    tbl, flat_ids, *, rows_per, mp, cap, model_axis, want=None
 ):
     """Capacity-bucketed all-to-all body (runs inside shard_map).
 
     flat_ids: (n,) int32 local ids. Returns (n, E) rows.
+
+    ``want``: optional (n,) bool — ids NOT wanted (pad positions) are kept
+    out of the exchange entirely and return zero rows. Out-of-range ids are
+    always unwanted and return zeros, matching the psum path's ownership
+    mask (without this the clipped gather would serve an arbitrary real row
+    for an invalid id).
     """
     n = flat_ids.shape[0]
+    v = rows_per * mp
+    valid = (flat_ids >= 0) & (flat_ids < v)
+    want = valid if want is None else (want & valid)
+
     # owner = id // rows_per is monotone in id, so sorting by id makes the
-    # buckets contiguous (and leaves duplicates adjacent for a future dedup).
-    order = jnp.argsort(flat_ids)
-    sorted_ids = flat_ids[order]
-    sorted_owner = jnp.clip(sorted_ids // rows_per, 0, mp - 1)
+    # buckets contiguous; unwanted ids get sort key v -> owner mp, PAST the
+    # last bucket, so they consume no capacity and no wire bytes.
+    key = jnp.where(want, flat_ids, jnp.asarray(v, flat_ids.dtype))
+    order = jnp.argsort(key)
+    sorted_ids = key[order]
+    sorted_owner = sorted_ids // rows_per  # in [0, mp]; mp == unwanted
     # rank of each id within its owner bucket
     bucket_start = jnp.searchsorted(sorted_owner, jnp.arange(mp, dtype=sorted_owner.dtype))
-    pos = jnp.arange(n) - bucket_start[sorted_owner]
-    fits = pos < cap
+    owner_c = jnp.clip(sorted_owner, 0, mp - 1)
+    pos = jnp.arange(n) - bucket_start[owner_c]
+    in_bucket = sorted_owner < mp
+    fits = in_bucket & (pos < cap)
 
-    # (mp, cap) send buffer; overflow positions are dropped (handled below)
+    # (mp, cap) send buffer; overflow/unwanted positions are dropped
+    # (owner mp and slot cap are both out of range for mode="drop")
     send_ids = jnp.zeros((mp, cap), dtype=flat_ids.dtype)
     send_ids = send_ids.at[sorted_owner, jnp.where(fits, pos, cap)].set(
         sorted_ids, mode="drop"
@@ -112,28 +127,31 @@ def _all_to_all_lookup_local(
     recv_rows = jax.lax.all_to_all(rows, model_axis, split_axis=0, concat_axis=0)
 
     # unpermute: sorted position k was served by (owner[k], pos[k])
-    out_sorted = recv_rows[sorted_owner, jnp.clip(pos, 0, cap - 1)]  # (n, E)
+    out_sorted = recv_rows[owner_c, jnp.clip(pos, 0, cap - 1)]  # (n, E)
 
     # Overflow correctness: if ANY shard overflowed a bucket, all shards
     # (the psum'd count is identical everywhere) take the psum fallback for
     # the overflowed ids. Cold path — costs nothing when buckets fit.
-    total_overflow = jax.lax.psum(jnp.sum(~fits), model_axis)
+    need_fb = in_bucket & ~fits
+    total_overflow = jax.lax.psum(jnp.sum(need_fb), model_axis)
 
     def _with_fallback(args):
-        out_sorted, sorted_ids, fits = args
+        out_sorted, sorted_ids, fits, need_fb = args
         fb = _psum_lookup_local(
             tbl,
-            jnp.where(fits, jnp.zeros((), sorted_ids.dtype), sorted_ids),
+            jnp.where(need_fb, sorted_ids, jnp.zeros((), sorted_ids.dtype)),
             rows_per=rows_per,
             model_axis=model_axis,
         )
-        return jnp.where(fits[..., None], out_sorted, fb)
+        zero = jnp.zeros((), out_sorted.dtype)
+        out = jnp.where(fits[..., None], out_sorted, zero)
+        return jnp.where(need_fb[..., None], fb, out)
 
     out_sorted = jax.lax.cond(
         total_overflow > 0,
         _with_fallback,
         lambda args: jnp.where(args[2][..., None], args[0], jnp.zeros((), args[0].dtype)),
-        (out_sorted, sorted_ids, fits),
+        (out_sorted, sorted_ids, fits, need_fb),
     )
     inv = jnp.argsort(order)
     return out_sorted[inv]
@@ -149,11 +167,21 @@ def sharded_lookup(
     method: str = "all_to_all",
     capacity_factor: float = DEFAULT_CAPACITY_FACTOR,
     batch_dim: int = 0,
+    pad_id: int | None = None,
 ) -> jax.Array:
     """table (V, E) sharded P(model, None); ids sharded P(data) on axis
     ``batch_dim`` (the trunk looks mean-pooled sequences up transposed as
     (S, B) with batch_dim=1 — see models/trunk.py). Returns rows
-    (ids.shape..., E) sharded P(data) on the same axis."""
+    (ids.shape..., E) sharded P(data) on the same axis.
+
+    ``pad_id``: when set, pad ids skip the all_to_all exchange and return
+    zero rows. This is EXACT, not an approximation: the pad row is zeroed at
+    init and receives no gradient (torch padding_idx parity,
+    ops/initializers.py embedding_init), so its row is zero for the table's
+    whole life. Padded sequences concentrate 30-70% of ids on the pad-owning
+    shard — without exclusion that shard's bucket overflows on essentially
+    every real batch and the psum fallback runs every step on top of the
+    exchange."""
     mp = mesh.shape[model_axis]
     if mp == 1:
         return table[ids]
@@ -186,14 +214,23 @@ def sharded_lookup(
         elif method == "all_to_all":
             n = flat.shape[0]
             cap = max(1, -(-int(capacity_factor * n) // mp))
+            want = None if pad_id is None else (flat != pad_id)
             rows = _all_to_all_lookup_local(
-                tbl, flat, rows_per=rows_per, mp=mp, cap=cap, model_axis=model_axis
+                tbl, flat, rows_per=rows_per, mp=mp, cap=cap,
+                model_axis=model_axis, want=want,
             )
         else:
             raise ValueError(f"unknown lookup method {method!r}")
         return rows.reshape(*shape, -1)
 
     return _lookup(table, ids)
+
+
+# Tables at or below this many (padded) rows skip the exchange entirely:
+# a plain gather lets GSPMD all-gather the whole small table (KBs) once,
+# which is far cheaper than bucketing/psum-ing B*E rows of lookups. The
+# MicroLens category table (11 rows padded to 128) lives here.
+SMALL_TABLE_ROWS = 1024
 
 
 def make_sharded_lookup(
@@ -203,14 +240,30 @@ def make_sharded_lookup(
     *,
     method: str = "all_to_all",
     capacity_factor: float = DEFAULT_CAPACITY_FACTOR,
+    feature_map=None,
+    small_table_rows: int = SMALL_TABLE_ROWS,
 ):
-    """A ``lookup(tables, name, ids)`` closure for models.trunk.apply."""
+    """A ``lookup(tables, name, ids)`` closure for models.trunk.apply.
+
+    ``feature_map``: when given, each table's pad id (features/feature_map.py
+    TableSpec.pad_id) routes pad positions OUT of the all_to_all exchange —
+    see ``sharded_lookup(pad_id=...)``. Without it, padded sequence batches
+    overflow the pad-owning shard's bucket every step."""
 
     def lookup(
         tables: dict, name: str, ids: jax.Array, feature=None, batch_dim=0
     ) -> jax.Array:
+        tbl = tables[name]
+        if tbl.shape[0] <= small_table_rows:
+            return tbl[ids]
+        pad_id = None
+        if feature_map is not None:
+            try:
+                pad_id = feature_map.table(name).pad_id
+            except (KeyError, StopIteration):
+                pad_id = None
         return sharded_lookup(
-            tables[name],
+            tbl,
             ids,
             mesh,
             model_axis=model_axis,
@@ -218,6 +271,7 @@ def make_sharded_lookup(
             method=method,
             capacity_factor=capacity_factor,
             batch_dim=batch_dim,
+            pad_id=pad_id,
         )
 
     return lookup

@@ -206,18 +206,9 @@ class Trainer:
 
     # ------------------------------------------------------------------ steps
     def _device_join(self, feats: dict, mm_tables: dict) -> dict:
-        """In-jit item join: dense features gathered from the device-resident
-        item matrix by id, zeros for out-of-range ids (tolerant semantics)."""
-        for dense_name, id_key in self._join_plan:
-            if dense_name in feats or dense_name not in mm_tables:
-                continue
-            emb = mm_tables[dense_name]
-            ids = feats[id_key].astype(jnp.int32)
-            v = emb.shape[0]
-            rows = emb[jnp.clip(ids, 0, v - 1)]
-            oob = (ids < 0) | (ids >= v)
-            feats[dense_name] = jnp.where(oob[..., None], 0.0, rows)
-        return feats
+        from ctr_recommendation_tpu.data.device_store import device_join
+
+        return device_join(feats, mm_tables, self._join_plan)
 
     def _train_step(self, state, batch, rng):
         return self._train_step_fn(state, batch, self._mm_tables, rng)

@@ -47,14 +47,28 @@ from ctr_recommendation_tpu.config.schema import TrainConfig
 TABLE_OPTIMIZERS = ("adagrad", "rowwise_adagrad", "adam")
 
 
+def _uniquify_sentinels(uids: jax.Array, vocab_rows: int) -> jax.Array:
+    """Spread the unique buffer's fill slots (all ``vocab_rows``) across
+    ``vocab_rows, vocab_rows+1, ...`` so the array is GENUINELY unique — the
+    ``.at[uids].set/add`` calls in :class:`TableOptimizer` promise
+    ``unique_indices=True``, whose behavior is undefined for duplicate
+    indices even out-of-range ones. The spread stays sorted and entirely
+    out of range, so ``mode='drop'`` still discards every sentinel slot."""
+    idx = jnp.arange(uids.size, dtype=uids.dtype)
+    first = jnp.searchsorted(uids, jnp.asarray(vocab_rows, uids.dtype))
+    return jnp.where(uids >= vocab_rows, vocab_rows + (idx - first), uids)
+
+
 def dedup_ids(ids: jax.Array, vocab_rows: int) -> jax.Array:
     """Sorted unique ids with static shape ``ids.size``; the tail is padded
-    with the out-of-range sentinel ``vocab_rows`` (keeps the array sorted, so
-    ``searchsorted`` positions for real ids are exact)."""
+    with unique out-of-range sentinels ``vocab_rows, vocab_rows+1, ...``
+    (keeps the array sorted AND unique, so scatter calls may promise
+    ``unique_indices=True``)."""
     flat = ids.reshape(-1).astype(jnp.int32)
     # distinct real ids can't exceed the vocab, so the buffer is capped there
     # (matters when batch * seq_len >> vocab)
-    return jnp.unique(flat, size=min(flat.size, vocab_rows), fill_value=vocab_rows)
+    uids = jnp.unique(flat, size=min(flat.size, vocab_rows), fill_value=vocab_rows)
+    return _uniquify_sentinels(uids, vocab_rows)
 
 
 def dedup_ids_inverse(
@@ -69,27 +83,13 @@ def dedup_ids_inverse(
         flat, size=min(flat.size, vocab_rows), fill_value=vocab_rows,
         return_inverse=True,
     )
-    return uids, inv.astype(jnp.int32)
+    return _uniquify_sentinels(uids, vocab_rows), inv.astype(jnp.int32)
 
 
 def gather_rows(table: jax.Array, uids: jax.Array) -> jax.Array:
     """Rows for unique ids; sentinel slots gather a clipped row whose value
     is never used (nothing maps to them) and whose updates are dropped."""
     return table[jnp.clip(uids, 0, table.shape[0] - 1)]
-
-
-def make_row_lookup(uids: dict[str, jax.Array], rows: dict[str, jax.Array]) -> Callable:
-    """A trunk-compatible ``lookup(tables, name, ids)`` that reads from the
-    gathered row buffers instead of the full tables (the ``tables`` argument
-    is intentionally unused so table params receive zero gradient)."""
-
-    def lookup(
-        tables: dict, name: str, ids: jax.Array, feature=None, batch_dim=0
-    ) -> jax.Array:
-        del tables, batch_dim  # plain gather — id layout is irrelevant
-        return rows[name][jnp.searchsorted(uids[name], ids.astype(jnp.int32))]
-
-    return lookup
 
 
 @dataclasses.dataclass(frozen=True)
@@ -177,10 +177,11 @@ class TableOptimizer:
                 }
             else:  # pragma: no cover
                 raise ValueError(self.kind)
-            # uids are sorted-unique by construction (dedup_ids): the flags let
-            # XLA emit a vectorized collision-free scatter instead of the
-            # serialized general form (~40% faster at MicroLens id counts,
-            # measured round 3).
+            # uids are sorted AND unique (real ids deduped, sentinel tail
+            # spread by _uniquify_sentinels): the flags let XLA emit a
+            # vectorized collision-free scatter instead of the serialized
+            # general form (~40% faster at MicroLens id counts, measured
+            # round 3).
             new_tables[name] = table.at[u].add(
                 (-lr * upd).astype(table.dtype), mode="drop",
                 indices_are_sorted=True, unique_indices=True,
@@ -267,23 +268,6 @@ def make_table_optimizer(cfg: TrainConfig, schedule) -> TableOptimizer | None:
     )
 
 
-def batch_table_ids(fm, batch: dict[str, jax.Array]) -> dict[str, jax.Array]:
-    """Every id each table is asked for this batch, flattened and concatenated
-    across the features that share it (e.g. item_id + item_seq)."""
-    from ctr_recommendation_tpu.config.schema import FeatureType
-
-    per_table: dict[str, list[jax.Array]] = {}
-    for f in fm.features:
-        if f.type not in (FeatureType.CATEGORICAL, FeatureType.SEQUENCE):
-            continue
-        if f.name not in batch:
-            continue
-        per_table.setdefault(fm.table_of[f.name], []).append(
-            batch[f.name].reshape(-1).astype(jnp.int32)
-        )
-    return {name: jnp.concatenate(arrs) for name, arrs in per_table.items()}
-
-
 def remap_batch(
     fm,
     feats: dict[str, jax.Array],
@@ -294,11 +278,16 @@ def remap_batch(
     row-buffer indices, so the in-loss lookup is a plain gather.
 
     A pad id (0) is force-included at the head of each table's id stream:
-    ``uids`` is sorted and ids are non-negative, so ``uids[0] == 0`` and the
-    remap maps 0 -> 0 — preserving the ``ids == 0`` mask semantics that
-    sequence pooling and attention rely on (models/trunk.py uses the raw ids
-    as the pad mask). Only valid while every sequence pad_id is 0, which the
-    FeatureMap guarantees for this framework's datasets; the caller asserts.
+    ``uids`` is sorted and ids are clamped non-negative below, so
+    ``uids[0] == 0`` and the remap maps 0 -> 0 — preserving the ``ids == 0``
+    mask semantics that sequence pooling and attention rely on
+    (models/trunk.py uses the raw ids as the pad mask). Only valid while
+    every sequence pad_id is 0, which Trainer.__init__ asserts. Negative ids
+    (a common missing-value sentinel in upstream joins) are clamped to the
+    pad id 0 — WITHOUT the clamp a single -1 would occupy ``uids[0]`` and
+    shift the pad remap to slot 1, corrupting the pad mask for the whole
+    batch; treating them as pad is the tolerant semantics the rest of the
+    pipeline uses for invalid ids.
 
     Returns (remapped feats, uids per table).
     """
@@ -317,7 +306,7 @@ def remap_batch(
         if t not in flats:
             flats[t] = [jnp.zeros((1,), jnp.int32)]  # force-include pad id 0
             plan[t] = []
-        ids = feats[f.name].astype(jnp.int32)
+        ids = jnp.maximum(feats[f.name].astype(jnp.int32), 0)
         start = sum(a.size for a in flats[t])
         flats[t].append(ids.reshape(-1))
         plan[t].append((f.name, start, ids.shape))

@@ -163,7 +163,13 @@ def test_distributed_training_step_runs_and_learns(dp, mp, tiny_experiment, tiny
             tiny_experiment.train, checkpoint_dir="/tmp/ctr_test_dist_ckpt"
         ),
     )
-    lookup = make_sharded_lookup(mesh) if mp > 1 else None
+    # small_table_rows=0 forces the all_to_all exchange even for the tiny
+    # test vocab (the default passthrough is covered by test_device_epoch_dp)
+    lookup = (
+        make_sharded_lookup(mesh, feature_map=tiny_feature_map, small_table_rows=0)
+        if mp > 1
+        else None
+    )
     trainer = Trainer(
         exp, mesh=mesh, steps_per_epoch=4, lookup=lookup, log_fn=lambda s: None
     )
@@ -201,3 +207,63 @@ def test_distributed_training_step_runs_and_learns(dp, mp, tiny_experiment, tiny
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert int(trainer.state.step) == 6
+
+
+@pytest.mark.parametrize("method", ["psum", "all_to_all"])
+def test_sharded_lookup_out_of_range_ids_zero(method):
+    """Both exchange methods must return ZEROS for out-of-range ids (the
+    psum path's ownership-mask semantics); the a2a path used to serve an
+    arbitrary clipped row."""
+    mesh = _mesh(2, 4)
+    v, e = round_up_vocab(100), 8
+    table = jax.random.normal(jax.random.key(0), (v, e))
+    ids = jnp.asarray([3, -1, v, 7, v + 99, 5, 2, 1], jnp.int32)
+    table_s = jax.device_put(table, NamedSharding(mesh, P("model", None)))
+    ids_s = jax.device_put(ids, NamedSharding(mesh, P("data")))
+    got = np.asarray(sharded_lookup(table_s, ids_s, mesh, method=method))
+    ok = (np.asarray(ids) >= 0) & (np.asarray(ids) < v)
+    np.testing.assert_allclose(got[ok], np.asarray(table[ids])[ok], rtol=1e-6)
+    assert (got[~ok] == 0).all()
+
+
+def test_all_to_all_pad_exclusion_exact_and_capacity_safe():
+    """pad_id routing: pad positions return the pad row's value EXACTLY
+    (the pad row is zeroed at init — torch padding_idx parity) while staying
+    out of the exchange, so a 50%-padded batch no longer overflows the
+    pad-owning shard's bucket."""
+    mesh = _mesh(2, 4)
+    v, e = round_up_vocab(200), 16
+    table = jax.random.normal(jax.random.key(0), (v, e)).at[0].set(0.0)
+    rng = np.random.default_rng(0)
+    ids = np.where(
+        rng.random((64, 8)) < 0.5, 0, rng.integers(1, 200, (64, 8))
+    ).astype(np.int32)
+    table_s = jax.device_put(table, NamedSharding(mesh, P("model", None)))
+    ids_s = jax.device_put(jnp.asarray(ids), NamedSharding(mesh, P("data", None)))
+    got = sharded_lookup(table_s, ids_s, mesh, method="all_to_all", pad_id=0)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(table[jnp.asarray(ids)]), rtol=1e-6
+    )
+    # gradient parity through the pad-excluded exchange
+    g_got = jax.grad(
+        lambda t: jnp.sum(
+            sharded_lookup(t, ids_s, mesh, method="all_to_all", pad_id=0) ** 2
+        )
+    )(table_s)
+    g_want = jax.grad(lambda t: jnp.sum(t[jnp.asarray(ids)] ** 2))(table)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want), rtol=1e-5)
+
+
+def test_make_sharded_lookup_small_table_passthrough(tiny_feature_map):
+    """Tables at/below small_table_rows skip the exchange: plain gather,
+    identical values."""
+    mesh = _mesh(2, 4)
+    v, e = 128, 16  # e.g. the MicroLens category table after rounding
+    table = jax.random.normal(jax.random.key(0), (v, e))
+    table_s = jax.device_put(table, NamedSharding(mesh, P("model", None)))
+    ids = jax.device_put(
+        jnp.asarray([0, 5, 10, 3], jnp.int32), NamedSharding(mesh, P("data"))
+    )
+    lookup = make_sharded_lookup(mesh, feature_map=tiny_feature_map)
+    got = lookup({"likes_level": table_s}, "likes_level", ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(table[ids]), rtol=1e-6)

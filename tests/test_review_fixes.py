@@ -212,3 +212,32 @@ def test_seed_history_reloads_pre_resume_epochs(tmp_path):
     Trainer._seed_history(ns, 2)
     assert [h["epoch"] for h in ns.history] == [1.0, 2.0]
     assert ns.history[1]["auc"] == 0.8
+
+
+# -------------------------------------------------- experiment.json provenance
+def test_experiment_json_not_clobbered_by_readonly_trainer(
+    tmp_path, tiny_experiment
+):
+    """A second Trainer pointed at an existing checkpoint dir (the predict /
+    evaluate pattern, with locally rewritten paths) must not overwrite the
+    training run's persisted experiment.json."""
+    import dataclasses
+    import json
+
+    from ctr_recommendation_tpu.training import Trainer
+
+    ck = str(tmp_path / "ck")
+    exp = tiny_experiment.replace(
+        train=dataclasses.replace(tiny_experiment.train, checkpoint_dir=ck)
+    )
+    Trainer(exp, steps_per_epoch=1, log_fn=lambda s: None)
+    path = os.path.join(ck, "experiment.json")
+    orig = json.load(open(path))
+    assert orig["dataset"]["data_root"] == exp.dataset.data_root
+
+    # predict-style Trainer with rewritten data paths, same checkpoint dir
+    exp2 = exp.replace(
+        dataset=dataclasses.replace(exp.dataset, data_root="/somewhere/else")
+    )
+    Trainer(exp2, steps_per_epoch=1, log_fn=lambda s: None)
+    assert json.load(open(path)) == orig

@@ -28,7 +28,10 @@ from tests.conftest import make_batch
 def test_dedup_ids_sorted_unique_sentinel():
     ids = jnp.array([[5, 3, 5], [0, 9, 3]], dtype=jnp.int32)
     u = sparse_lib.dedup_ids(ids, vocab_rows=16)
-    np.testing.assert_array_equal(np.asarray(u), [0, 3, 5, 9, 16, 16])
+    # sentinel tail is spread (16, 17, ...) so the buffer is GENUINELY
+    # unique — the scatter calls promise unique_indices=True
+    np.testing.assert_array_equal(np.asarray(u), [0, 3, 5, 9, 16, 17])
+    assert len(np.unique(np.asarray(u))) == u.size
     # capped at vocab when batch ids outnumber the vocab
     big = jnp.zeros((100,), jnp.int32)
     assert sparse_lib.dedup_ids(big, vocab_rows=8).shape == (8,)
@@ -38,18 +41,15 @@ def test_row_lookup_matches_dense_gather():
     key = jax.random.key(0)
     table = jax.random.normal(key, (16, 4))
     ids = jnp.array([3, 7, 3, 1], dtype=jnp.int32)
-    u = sparse_lib.dedup_ids(ids, 16)
+    u, inv = sparse_lib.dedup_ids_inverse(ids, 16)
     rows = sparse_lib.gather_rows(table, u)
-    lookup = sparse_lib.make_row_lookup({"t": u}, {"t": rows})
-    np.testing.assert_array_equal(
-        np.asarray(lookup({"t": table}, "t", ids)), np.asarray(table[ids])
-    )
+    np.testing.assert_array_equal(np.asarray(rows[inv]), np.asarray(table[ids]))
 
 
 def test_row_grads_equal_dense_table_grads():
-    """d(loss)/d(rows) scattered back == d(loss)/d(table): the searchsorted
-    remap's transpose segment-sums duplicates exactly like the dense gather's
-    scatter-add."""
+    """d(loss)/d(rows) scattered back == d(loss)/d(table): the inverse-remap
+    gather's transpose segment-sums duplicates exactly like the dense
+    gather's scatter-add."""
     key = jax.random.key(1)
     V, E = 12, 4
     table = jax.random.normal(key, (V, E))
@@ -59,17 +59,36 @@ def test_row_grads_equal_dense_table_grads():
     def dense_loss(t):
         return jnp.sum((t[ids] - tgt) ** 2)
 
-    u = sparse_lib.dedup_ids(ids, V)
+    u, inv = sparse_lib.dedup_ids_inverse(ids, V)
     rows0 = sparse_lib.gather_rows(table, u)
 
     def row_loss(rows):
-        lookup = sparse_lib.make_row_lookup({"t": u}, {"t": rows})
-        return jnp.sum((lookup(None, "t", ids) - tgt) ** 2)
+        return jnp.sum((rows[inv] - tgt) ** 2)
 
     dense_g = jax.grad(dense_loss)(table)
     row_g = jax.grad(row_loss)(rows0)
     scattered = jnp.zeros_like(table).at[u].add(row_g, mode="drop")
     np.testing.assert_allclose(np.asarray(scattered), np.asarray(dense_g), atol=1e-6)
+
+
+def test_remap_batch_clamps_negative_ids_to_pad(tiny_feature_map):
+    """A stray -1 id must be treated as pad, not shift the pad remap off
+    slot 0 (which would corrupt the whole batch's pad mask)."""
+    rng = np.random.default_rng(21)
+    feats = make_batch(rng, 16)
+    feats["item_seq"] = feats["item_seq"].copy()
+    feats["item_seq"][0, 0] = -1
+    tables = {
+        "item_id": jax.random.normal(jax.random.key(0), (256, 8)),
+        "likes_level": jax.random.normal(jax.random.key(1), (128, 8)),
+    }
+    remapped, uids = sparse_lib.remap_batch(tiny_feature_map, feats, tables)
+    # pad remap invariant holds: remap(0) == 0, and the -1 became pad
+    assert int(remapped["item_seq"][0, 0]) == 0
+    pad_mask_want = np.asarray(np.maximum(feats["item_seq"], 0) == 0)
+    np.testing.assert_array_equal(
+        np.asarray(remapped["item_seq"] == 0), pad_mask_want
+    )
 
 
 def _run_optax(tx, table, grads_seq):
