@@ -9,7 +9,7 @@ vocab, 128-d multimodal vectors, 615K-row eval each epoch — and reports
 wall-clock s/epoch, examples/s, and the AUC trajectory.
 
 Usage: python benchmarks/full_scale_run.py [--epochs 5] [--table-optimizer
-rowwise_adagrad] [--rows 3072000]
+adam] [--rows 3072000]
 
 Numbers land in docs/PERFORMANCE.md ("Full MicroLens-scale run" row).
 """
@@ -30,7 +30,8 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--epochs", type=int, default=5)
     p.add_argument("--rows", type=int, default=3_072_000 + 615_000 + 100_000)
-    p.add_argument("--table-optimizer", default="rowwise_adagrad")
+    p.add_argument("--table-optimizer", default="adam",
+               help="dense | adagrad | rowwise_adagrad | adam (lazy). Lazy adam matches the dense Adam AUC trajectory exactly at this scale; rowwise_adagrad trades ~0.08 AUC for +6% throughput here — see docs/PERFORMANCE.md")
     p.add_argument("--root", default=None, help="dataset dir (default: temp)")
     args = p.parse_args()
 
