@@ -698,7 +698,9 @@ class Trainer:
                 "seconds": dt,
             }
             if valid_data is not None:
+                t_eval = time.time()
                 entry.update(self._evaluate_prepared(valid_data))
+                entry["eval_seconds"] = time.time() - t_eval
                 metric = entry[tc.monitor]
                 improved = metric > best if tc.monitor_mode == "max" else metric < best
                 if improved:
@@ -710,7 +712,9 @@ class Trainer:
                     self.log(
                         f"[epoch {epoch + 1}] new best {tc.monitor}={metric:.4f} — exported"
                     )
+            t_save = time.time()
             self.ckpt.save(epoch + 1, self.state)
+            entry["checkpoint_seconds"] = time.time() - t_save
             self.log(
                 f"[epoch {epoch + 1}] loss {train_loss:.4f} "
                 + " ".join(
