@@ -278,12 +278,18 @@ class Trainer:
                 flat_counts[t] = flat_counts.get(t, 1) + int(
                     np.prod(feats[f.name].shape)
                 )
-        gathered = {
+        # sorted (not a set): iteration order reaches the traced HLO via the
+        # sub-dict constructions below, and per-process str-hash
+        # randomization would otherwise change the persistent compilation
+        # cache key on every run (measured: repeat full-scale runs recompiled
+        # the 60s epoch scan each time)
+        gathered = sorted(
             t
             for t, c in flat_counts.items()
             if sparse_lib.choose_strategy(tables[t].shape[0], c) == "gathered"
-        }
-        masked = [t for t in flat_counts if t not in gathered]
+        )
+        gathered_set = set(gathered)
+        masked = [t for t in flat_counts if t not in gathered_set]
 
         # Rewrite gathered tables' id features to row-buffer indices once
         # (single unique/sort per table, no per-lookup searchsorted) —
