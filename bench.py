@@ -48,21 +48,24 @@ def main() -> None:
 
     pred = Predictor(exp, params, state, fold_bn=True)
 
-    def score(params, state, batch):
+    def score(batch):
         return pred._score(pred.params, pred.model_state, pred._mm_tables, batch)
 
     batch = _fake_batch(rng, eval_bs, 91718, 20, 128, with_label=False)
     batch = jax.device_put(batch)
     # warmup / compile (device->host value read = honest completion barrier)
-    float(score(params, state, batch)[0])
+    float(score(batch)[0])
 
     # --- single-batch dispatch latency (includes host->device round trip;
-    # through this environment's tunnel that round trip dominates) ---
-    n_lat = 10
-    t0 = time.perf_counter()
-    for _ in range(n_lat):
-        float(score(params, state, batch)[0])
-    p50_ms = (time.perf_counter() - t0) / n_lat * 1e3
+    # through this environment's tunnel that round trip dominates). True
+    # median of per-iteration times, not a mean (one tunnel hiccup would
+    # skew a mean arbitrarily) ---
+    lat = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        float(score(batch)[0])
+        lat.append(time.perf_counter() - t0)
+    p50_ms = float(np.median(lat)) * 1e3
 
     # --- bulk scoring throughput: the reference's exact workload shape
     # (47x8192-row batches, Prediction.py:97) scored as ONE device program
@@ -72,24 +75,24 @@ def main() -> None:
     big = jax.device_put(big)
 
     @jax.jit
-    def score_all(params, state, data):
+    def score_all(data):
         def body(_, i):
             b = {
                 k: jax.lax.dynamic_slice_in_dim(v, i * eval_bs, eval_bs)
                 for k, v in data.items()
             }
-            return None, score(params, state, b)
+            return None, score(b)
 
         _, probs = jax.lax.scan(
             body, None, jnp.arange(n_batches, dtype=jnp.int32)
         )
         return probs.reshape(-1)
 
-    float(score_all(params, state, big)[0])  # compile
+    float(score_all(big)[0])  # compile
     reps = []
     for _ in range(3):
         t0 = time.perf_counter()
-        float(score_all(params, state, big)[0])
+        float(score_all(big)[0])
         reps.append(time.perf_counter() - t0)
     infer_rows_per_sec = eval_bs * n_batches / float(np.median(reps))
 

@@ -40,12 +40,24 @@ def main() -> int:
         print("no trace events found")
         return 1
 
+    # Identify DEVICE tracks from the trace's process metadata — host-thread
+    # events (python callables, TSL runtime spans) share the same "X" phase
+    # and would otherwise inflate totals and misrank the table.
+    device_pids: set = set()
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pname = str(e.get("args", {}).get("name", ""))
+            if any(k in pname for k in ("TPU", "GPU", "/device:", "XLA")):
+                device_pids.add(e.get("pid"))
+
     # keep complete events ("X") on device tracks (XLA ops)
     by_name: dict[str, float] = collections.defaultdict(float)
     count: dict[str, int] = collections.defaultdict(int)
     total = 0.0
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
+            continue
+        if device_pids and e.get("pid") not in device_pids:
             continue
         name = e.get("name", "?")
         if name.startswith(("$", "process_", "thread_")):
@@ -54,6 +66,8 @@ def main() -> int:
         by_name[name] += dur
         count[name] += 1
         total += dur
+    if not device_pids:
+        print("(no device process metadata found; summing ALL trace tracks)")
 
     print(f"{'total_us':>12} {'calls':>7} {'%':>6}  op")
     for name, dur in sorted(by_name.items(), key=lambda kv: -kv[1])[:25]:

@@ -8,8 +8,11 @@ synthetic generator: 3.07M train rows (750 steps/epoch @ 4096), 91718-item
 vocab, 128-d multimodal vectors, 615K-row eval each epoch — and reports
 wall-clock s/epoch, examples/s, and the AUC trajectory.
 
-Usage: python benchmarks/full_scale_run.py [--epochs 5] [--table-optimizer
-adam] [--rows 3072000]
+Usage: python benchmarks/full_scale_run.py [--epochs 5] [--table-optimizer adam]
+--rows is the TOTAL row count (train + 615K valid + 100K test); the
+default reproduces the 3.07M-train-row / 750-step workload. A different
+--rows changes the train split and is NOT comparable to the recorded
+PERFORMANCE.md numbers (delete the cached --root dir when changing it).
 
 Numbers land in docs/PERFORMANCE.md ("Full MicroLens-scale run" row).
 """
@@ -54,7 +57,7 @@ def main() -> int:
             num_rows=args.rows,
             valid_frac=615_000 / args.rows,
             test_frac=100_000 / args.rows,
-            num_items=91_718,
+            num_items=91_717,  # ids 1..91717; vocab 91718 rows (0 = pad)
             max_len=20,
             mm_dim=128,
             seed=2025,

@@ -70,6 +70,17 @@ def main(argv=None) -> int:
         else os.path.join(args.data_root, f"{args.split}.parquet")
     )
     data = load_split(split_path, fm, include_label=True)
+    if fm.label not in data.columns:
+        # e.g. the MicroLens test split ships without labels (load_split
+        # silently drops absent columns) — say so instead of a deep KeyError
+        import sys
+
+        print(
+            f"split {split_path} has no {fm.label!r} column — evaluation "
+            "needs a labeled split (use cli.predict for unlabeled scoring)",
+            file=sys.stderr,
+        )
+        return 2
     store = ItemStore.from_parquet(
         exp.dataset.item_info,
         id_col=exp.dataset.item_info_key,

@@ -178,15 +178,25 @@ def run_training(
 
         # every host runs the same number of steps per epoch (unequal
         # row-group assignment would deadlock the slower hosts' collectives)
-        steps = max(common_step_count(exp.dataset.train_data, bs, n_hosts), 1)
+        steps = common_step_count(exp.dataset.train_data, bs, n_hosts)
     elif n_hosts > 1:
         # disjoint per-host shard — each global batch must contain every
         # example once, not host_count duplicates of the same rows — with a
         # lockstep step count (shards can differ by up to n_hosts-1 rows)
         train = train.shard(host, n_hosts)
-        steps = max((train_rows // n_hosts) // bs, 1)
+        steps = (train_rows // n_hosts) // bs
     else:
-        steps = max(train_rows // bs, 1)
+        steps = train_rows // bs
+    if steps < 1:
+        # NOT clamped to 1: forcing a step on hosts whose shard holds < one
+        # full batch would deadlock the others' collectives (the empty host
+        # yields no batches). All hosts compute the same value -> all raise.
+        print(
+            f"batch size {bs} exceeds the smallest per-host train shard "
+            f"({train_rows} rows / {n_hosts} host(s)); lower --batch-size",
+            file=sys.stderr,
+        )
+        return 2
     # Default: item join happens ON DEVICE inside the jitted step (batches
     # carry only ids). strict mode needs the host-side check, so it keeps
     # the host join (reference training semantics, dataloader.py:104-106).
@@ -197,6 +207,16 @@ def run_training(
     )
 
     if profile_dir:
+        if stream or strict_items:
+            # profile_epoch runs the device-resident epoch scan: it needs the
+            # whole split in HBM (not --stream) and the on-device item join
+            # (not --strict-items); fail clearly instead of crashing at trace
+            print(
+                "--profile-dir requires the in-memory, non-strict path "
+                "(drop --stream/--strict-items)",
+                file=sys.stderr,
+            )
+            return 2
         trainer.profile_epoch(train, profile_dir)
         return 0
 

@@ -192,6 +192,24 @@ def pca_project(x: np.ndarray, n_components: int = 128) -> np.ndarray:
 
 
 # ----------------------------------------------------------------- pipeline
+class _LazyImages:
+    """Sequence view over item images that decodes on access (int or slice),
+    so the encoder's 16-item batches never hold more than one batch of
+    decoded bitmaps — eager decoding of ~91K images is multi-GB of RSS."""
+
+    def __init__(self, image_dir: str, item_ids):
+        self._dir = image_dir
+        self._ids = list(item_ids)
+
+    def __len__(self) -> int:
+        return len(self._ids)
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(len(self)))]
+        return load_image(find_image_path(self._dir, self._ids[i]))
+
+
 def generate_item_embeddings(
     item_feature_path: str,
     output_path: str,
@@ -205,7 +223,7 @@ def generate_item_embeddings(
 ) -> int:
     """item_feature parquet -> item_info parquet with refreshed
     ``item_emb_d128`` (list of n_components floats, L2-normed; zeros for
-    items whose text is empty). Returns the number of items written.
+    items with no title and no tags). Returns the number of items written.
 
     ``image_dir``: directory of raw item images named ``{item_id}.{ext}``;
     each item's image is resolved by extension probe + glob (cell 3), loaded
@@ -224,19 +242,26 @@ def generate_item_embeddings(
     views = cols.get("views_level", [0] * n)
 
     texts = [build_text(t, g, l, v) for t, g, l, v in zip(titles, tags, likes, views)]
+    # "empty" = no real content (no title, no tags): build_text always
+    # appends the level suffixes, so the assembled text itself is never
+    # blank — the zeros contract keys on the content fields
+    empty = np.array(
+        [
+            (t is None or not str(t).strip()) and not parse_tags(g)
+            for t, g in zip(titles, tags)
+        ]
+    )
     images = None
     if image_dir is not None:
         item_ids = cols.get(id_col, list(range(n)))
-        images = [
-            load_image(find_image_path(image_dir, item_id)) for item_id in item_ids
-        ]
+        # lazy: images decode per encoder batch, not all ~91K at once
+        images = _LazyImages(image_dir, item_ids)
     encoder = encoder or HashTextEncoder()
     raw = encoder.encode(texts, images) if images is not None else encoder.encode(texts)
     k = min(n_components, *raw.shape)
     emb = pca_project(raw, k)
     if k < n_components:  # tiny inputs: zero-pad to the contract width
         emb = np.pad(emb, ((0, 0), (0, n_components - k)))
-    empty = np.array([not t.strip(" |") for t in texts])
     emb[empty] = 0.0
 
     out_cols = {name: table.column(name) for name in table.schema.names

@@ -76,12 +76,12 @@ def test_generate_item_embeddings_contract(tmp_path):
     emb = np.asarray(out.column("item_emb_d128").to_pylist(), dtype=np.float32)
     assert emb.shape == (n, 128)
     norms = np.linalg.norm(emb, axis=1)
-    # non-empty items unit-normed; empty-text items exactly zero
-    for i in range(n):
-        if i % 9 == 0:
-            # empty title but levels still yield text -> non-zero is fine;
-            # the truly-empty contract is exercised below
-            pass
+    # items with NO title and NO tags (i % 9 == 0) get the zero embedding —
+    # build_text always appends level suffixes, so the contract keys on the
+    # content fields, not the assembled text
+    contentless = np.arange(n) % 9 == 0
+    assert (norms[contentless] == 0.0).all()
+    assert (norms[~contentless] > 0.0).all()
     assert np.all((np.isclose(norms, 1.0, atol=1e-4)) | (norms == 0.0))
 
 
