@@ -144,7 +144,9 @@ def load_experiment(
     dataset_id = exp_raw.get("dataset_id", cfg.get("dataset_id"))
     ds_raw: dict[str, Any] = dict(cfg["dataset_config"][dataset_id])
 
-    if str(exp_raw.get("model", "")).lower() in ("mm_fibinet", "fibinet"):
+    # absent 'model:' defaults to mm_fibinet (ModelConfig), so the parity
+    # overrides/warnings must apply then too
+    if str(exp_raw.get("model", "mm_fibinet")).lower() in ("mm_fibinet", "fibinet"):
         conflicts = {
             k: (exp_raw[k], v)
             for k, v in _REFERENCE_CODE_WINS.items()

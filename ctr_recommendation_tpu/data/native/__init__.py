@@ -42,13 +42,20 @@ def _load():
             return _lib
         _tried = True
         # The .so is a local build artifact (never committed — see .gitignore);
-        # a stale or wrong-arch cache is rebuilt from source rather than trusted.
+        # a wrong-arch cache fails to load and is rebuilt, and a cache OLDER
+        # than the source is rebuilt too (otherwise edits to pad_seq.cc would
+        # silently keep running the old kernel).
         lib = None
         if os.path.exists(_LIB_PATH):
             try:
-                lib = ctypes.CDLL(_LIB_PATH)
+                stale = os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)
             except OSError:
-                lib = None
+                stale = False
+            if not stale:
+                try:
+                    lib = ctypes.CDLL(_LIB_PATH)
+                except OSError:
+                    lib = None
         if lib is None:
             if _build() is None:
                 return None

@@ -151,16 +151,14 @@ def iter_batches(
     else:
         order = np.arange(n)
 
-    dense_feats = [
-        f for f in feature_map.features if f.type == FeatureType.DENSE_EMBEDDING
-    ]
-    id_key = None
-    if dense_feats and item_store is not None:
-        # the join key: the categorical feature with source == "item"
-        for f in feature_map.features:
-            if f.type == FeatureType.CATEGORICAL and f.source == "item":
-                id_key = f.name
-                break
+    # per-feature source pairing, same rule as the device-side join
+    # (data/device_store.dense_join_plan): each dense feature joins on the
+    # categorical sharing ITS source tag — never on an unrelated id column.
+    # (A schema with dense features from several sources needs one store per
+    # source; like the device path, the single store serves every pair.)
+    from ctr_recommendation_tpu.data.device_store import dense_join_plan
+
+    join_plan = dense_join_plan(feature_map) if item_store is not None else []
 
     for start in range(0, n, batch_size):
         idx = order[start : start + batch_size]
@@ -178,9 +176,7 @@ def iter_batches(
         else:
             weight = np.ones(batch_size, np.float32)
         batch = data.take(idx)
-        if id_key is not None:
-            joined = item_store.lookup(batch[id_key], strict=strict_items)
-            for f in dense_feats:
-                batch[f.name] = joined
+        for dense_name, id_key in join_plan:
+            batch[dense_name] = item_store.lookup(batch[id_key], strict=strict_items)
         batch["__weight__"] = weight
         yield batch

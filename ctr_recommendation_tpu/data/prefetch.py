@@ -24,25 +24,53 @@ def prefetch(
     depth: int = 2,
 ) -> Iterator[T]:
     """Run ``iterator`` (and optional per-item ``transform``, e.g.
-    device_put) in a daemon thread, keeping ``depth`` items ready."""
+    device_put) in a daemon thread, keeping ``depth`` items ready.
+
+    Shutdown-safe: if the consumer abandons the generator early (exception
+    in the train step, KeyboardInterrupt, break), closing it signals the
+    worker to stop — without this the worker would block forever in
+    ``q.put`` holding ``depth+1`` device-resident batches in HBM."""
     q: queue.Queue = queue.Queue(maxsize=depth)
     err: list[BaseException] = []
+    stop = threading.Event()
 
     def worker():
         try:
             for item in iterator:
-                q.put(transform(item) if transform else item)
+                out = transform(item) if transform else item
+                while not stop.is_set():
+                    try:
+                        q.put(out, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # propagate into the consumer
             err.append(e)
         finally:
-            q.put(_SENTINEL)
+            while not stop.is_set():
+                try:
+                    q.put(_SENTINEL, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        # unblock a pending put and release its batch reference
+        while not q.empty():
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break

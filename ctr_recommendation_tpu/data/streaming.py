@@ -93,15 +93,20 @@ def stream_batches(
     if shuffle:
         rng.shuffle(groups)
 
-    dense_feats = [
-        f for f in feature_map.features if f.type == FeatureType.DENSE_EMBEDDING
+    # per-feature source pairing, same rule as the device-side join
+    # (data/device_store.dense_join_plan)
+    from ctr_recommendation_tpu.data.device_store import dense_join_plan
+
+    join_plan = dense_join_plan(feature_map) if item_store is not None else []
+
+    # project to the columns the feature map actually consumes — decoding
+    # every column of a production-scale log per row group is wasted IO/CPU
+    spec_names = {f.name for f in feature_map.features}
+    wanted = [
+        c
+        for c in pf.schema_arrow.names
+        if c in spec_names or (include_label and c == feature_map.label)
     ]
-    id_key = None
-    if dense_feats and item_store is not None:
-        for f in feature_map.features:
-            if f.type == FeatureType.CATEGORICAL and f.source == "item":
-                id_key = f.name
-                break
 
     window: dict[str, list[np.ndarray]] = {}
     window_rows = 0
@@ -128,10 +133,10 @@ def stream_batches(
             else:
                 weight = np.ones(batch_size, np.float32)
             batch = {k: v[idx] for k, v in cols.items()}
-            if id_key is not None:
-                joined = item_store.lookup(batch[id_key], strict=strict_items)
-                for f in dense_feats:
-                    batch[f.name] = joined
+            for dense_name, jk in join_plan:
+                batch[dense_name] = item_store.lookup(
+                    batch[jk], strict=strict_items
+                )
             batch["__weight__"] = weight
             yield batch
         # carry the un-emitted tail into the next window
@@ -143,7 +148,9 @@ def stream_batches(
             window_rows = len(keep)
 
     for g in groups:
-        for rb in pf.iter_batches(batch_size=batch_size * 4, row_groups=[g]):
+        for rb in pf.iter_batches(
+            batch_size=batch_size * 4, row_groups=[g], columns=wanted
+        ):
             cols = _record_batch_to_columns(rb, feature_map, include_label)
             for k, v in cols.items():
                 window.setdefault(k, []).append(v)

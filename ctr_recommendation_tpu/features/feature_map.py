@@ -88,14 +88,16 @@ def build_feature_map(dataset: DatasetConfig) -> FeatureMap:
             # item table: padding_idx=0 at model_fibinet.py:100 is required by
             # the sequence user even though plain item_id lookups ignore it).
             users = [g for g in model_visible if _owner(g).name == owner.name]
-            pad_id = None
-            for g in users:
-                if g.type == FeatureType.SEQUENCE:
-                    pad_id = g.pad_id
-            if pad_id is None and owner.pad_id is not None and any(
-                g.type == FeatureType.SEQUENCE for g in users
-            ):
-                pad_id = owner.pad_id
+            seq_pads = {
+                g.pad_id for g in users if g.type == FeatureType.SEQUENCE
+            }
+            if len(seq_pads) > 1:
+                raise ValueError(
+                    f"sequence features sharing table {owner.name!r} declare "
+                    f"conflicting pad_ids {sorted(seq_pads)}; the table can "
+                    "zero/freeze only one pad row"
+                )
+            pad_id = next(iter(seq_pads)) if seq_pads else None
             tables.append(
                 TableSpec(name=owner.name, vocab_size=owner.vocab_size, pad_id=pad_id)
             )

@@ -59,6 +59,13 @@ def make_optimizer(
         if cfg.weight_decay:
             parts.append(optax.add_decayed_weights(cfg.weight_decay))
     elif name == "adagrad":
+        # DELIBERATELY decoupled (AdamW-style) decay: added after the rss
+        # scaling so decayed weights never enter the accumulator. This
+        # differs from torch.optim.Adagrad(weight_decay=...), which couples
+        # L2 into the gradient — there is no reference adagrad run to
+        # reproduce (the logged run is Adam), and the sparse TableOptimizer
+        # mirrors this exact ordering for dense/sparse parity
+        # (training/sparse.py update()).
         parts.append(optax.scale_by_rss(initial_accumulator_value=0.1, eps=1e-10))
         if cfg.weight_decay:
             parts.append(optax.add_decayed_weights(cfg.weight_decay))

@@ -93,3 +93,33 @@ def test_shard_partitions_rows(synth):
     assert sum(s.num_rows for s in shards) == data.num_rows
     all_ids = np.concatenate([s.columns["item_id"] for s in shards])
     assert sorted(all_ids.tolist()) == sorted(data.columns["item_id"].tolist())
+
+
+def test_prefetch_releases_worker_on_abandon():
+    """Abandoning the prefetch generator early (exception/break in the
+    consumer) must stop the worker thread instead of leaving it blocked in
+    q.put holding batch references forever."""
+    import itertools
+    import threading
+    import time
+
+    from ctr_recommendation_tpu.data.prefetch import prefetch
+
+    produced = []
+
+    def gen():
+        for i in itertools.count():
+            produced.append(i)
+            yield i
+
+    before = threading.active_count()
+    it = prefetch(gen(), depth=2)
+    assert next(it) == 0
+    it.close()  # consumer abandons early
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "prefetch worker leaked"
+    n_after_close = len(produced)
+    time.sleep(0.3)
+    assert len(produced) == n_after_close  # no further production
