@@ -15,7 +15,10 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import sys
 import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run(root: str, tower_dtype: str, *, epochs=4, num_rows=12000, num_items=1500,

@@ -20,7 +20,7 @@ from ctr_recommendation_tpu.config.schema import ModelConfig
 from ctr_recommendation_tpu.features.feature_map import FeatureMap
 from ctr_recommendation_tpu.models import trunk
 from ctr_recommendation_tpu.ops import mlp as mlp_ops
-from ctr_recommendation_tpu.ops.initializers import linear_init, xavier_normal
+from ctr_recommendation_tpu.ops.initializers import linear_apply, linear_init, xavier_normal
 
 SEQ_POOLING = "mean"
 
@@ -98,8 +98,7 @@ def apply(
         h = _interact(layer, h, cfg.autoint_num_heads)
     b = x.shape[0]
     flat = h.reshape(b, -1).astype(jnp.float32)
-    head = params["head"]
-    attn_logit = (flat @ head["w"] + head["b"])[..., 0]
+    attn_logit = linear_apply(params["head"], flat)[..., 0]
 
     rng_mlp = None if rng is None else jax.random.fold_in(rng, 1)
     td = jnp.float32 if cfg.tower_dtype == "float32" else compute_dtype

@@ -29,9 +29,10 @@ def init(key: jax.Array, fm: FeatureMap, cfg: ModelConfig) -> tuple[dict, dict]:
         "trunk": trunk.init(k_trunk, fm, cfg, seq_pooling=SEQ_POOLING),
         "cross": cross_ops.init(k_cross, in_dim, NUM_CROSS_LAYERS),
     }
-    # deep tower without its own logit: out_dim = last hidden width
+    # headless deep tower: the stream output IS the last hidden
+    # activation (out_dim=None), matching the DCNv2 paper's deep branch
     params["mlp"], mlp_state = mlp_ops.init(
-        k_mlp, in_dim, cfg.hidden_units, out_dim=cfg.hidden_units[-1],
+        k_mlp, in_dim, cfg.hidden_units, out_dim=None,
         batch_norm=cfg.batch_norm,
     )
     params["out"] = linear_init(k_out, in_dim + cfg.hidden_units[-1], 1)

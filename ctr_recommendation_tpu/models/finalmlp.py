@@ -38,13 +38,15 @@ def init(key: jax.Array, fm: FeatureMap, cfg: ModelConfig) -> tuple[dict, dict]:
             "fc1": linear_init(keys[k], in_dim, _GATE_HIDDEN),
             "fc2": linear_init(jax.random.fold_in(keys[k], 1), _GATE_HIDDEN, in_dim),
         }
+    # headless streams (out_dim=None): each stream's output is its last
+    # hidden activation, as in the FinalMLP paper's dual-stream design
     params["stream1"], state["stream1"] = mlp_ops.init(
-        keys[3], in_dim, cfg.finalmlp_stream1_units,
-        out_dim=cfg.finalmlp_stream1_units[-1], batch_norm=cfg.batch_norm,
+        keys[3], in_dim, cfg.finalmlp_stream1_units, out_dim=None,
+        batch_norm=cfg.batch_norm,
     )
     params["stream2"], state["stream2"] = mlp_ops.init(
-        keys[4], in_dim, cfg.finalmlp_stream2_units,
-        out_dim=cfg.finalmlp_stream2_units[-1], batch_norm=cfg.batch_norm,
+        keys[4], in_dim, cfg.finalmlp_stream2_units, out_dim=None,
+        batch_norm=cfg.batch_norm,
     )
     d1 = cfg.finalmlp_stream1_units[-1]
     d2 = cfg.finalmlp_stream2_units[-1]

@@ -114,18 +114,24 @@ def apply(
         raise ValueError("batch contains none of the feature-map features")
 
     fields = []
+    field_of: dict[str, jax.Array] = {}  # feature name -> its field embedding
+
+    def _append(name: str, value):
+        fields.append(value)
+        field_of[name] = value
+
     for f in fm.features:
         if f.type == FeatureType.PLACEHOLDER:
-            fields.append(jnp.zeros((batch_size, e), dtype=compute_dtype))
+            _append(f.name, jnp.zeros((batch_size, e), dtype=compute_dtype))
         elif f.type == FeatureType.CATEGORICAL:
             ids = batch[f.name].astype(jnp.int32)
             emb = lookup(params["tables"], fm.table_of[f.name], ids, feature=f.name)
-            fields.append(emb.astype(compute_dtype))
+            _append(f.name, emb.astype(compute_dtype))
         elif f.type == FeatureType.DENSE_EMBEDDING:
             p = params["dense"][f.name]
             h = linear_apply(p["proj"], batch[f.name].astype(jnp.float32))
             h = _layer_norm(h, p["ln_scale"], p["ln_bias"])
-            fields.append(jax.nn.relu(h).astype(compute_dtype))
+            _append(f.name, jax.nn.relu(h).astype(compute_dtype))
         elif f.type == FeatureType.SEQUENCE and seq_pooling != "attention":
             # mean pooling: transposed (S, B) lookup — see the docstring
             seq_ids = batch[f.name].astype(jnp.int32)
@@ -133,7 +139,7 @@ def apply(
                 params["tables"], fm.table_of[f.name], seq_ids.T,
                 feature=f.name, batch_dim=1,
             ).astype(compute_dtype)
-            fields.append(pooling.masked_mean_t(seq_emb, seq_ids.T, f.pad_id))
+            _append(f.name, pooling.masked_mean_t(seq_emb, seq_ids.T, f.pad_id))
         elif f.type == FeatureType.SEQUENCE:
             seq_ids = batch[f.name].astype(jnp.int32)
             seq_emb = lookup(
@@ -152,22 +158,39 @@ def apply(
                         rng, zlib.crc32(f.name.encode()) % (2**31)
                     ),
                 )
-                # target = the item_id field's embedding if present, else mean
-                target_name = fm.table_of[f.name]
-                if target_name in batch:
+                # target query = the CATEGORICAL feature sharing this
+                # table (item_id for item_seq), reusing its already-gathered
+                # field embedding when available (one sharded lookup, not
+                # two); else a fresh lookup; else the masked mean. NB: the
+                # table NAME itself is not a valid batch key when the
+                # sequence feature owns its table.
+                target_feat = next(
+                    (
+                        g.name
+                        for g in fm.features
+                        if g.type == FeatureType.CATEGORICAL
+                        and fm.table_of.get(g.name) == fm.table_of[f.name]
+                        and g.name in batch
+                    ),
+                    None,
+                )
+                if target_feat is not None and target_feat in field_of:
+                    target = field_of[target_feat]
+                elif target_feat is not None:
                     target = lookup(
-                        params["tables"], target_name,
-                        batch[target_name].astype(jnp.int32), feature=target_name,
+                        params["tables"], fm.table_of[target_feat],
+                        batch[target_feat].astype(jnp.int32), feature=target_feat,
                     ).astype(compute_dtype)
                 else:
                     target = pooling.masked_mean(seq_emb, seq_ids, f.pad_id)
-                fields.append(
+                _append(
+                    f.name,
                     attn_ops.target_pool(
                         params["attn"][f.name], encoded, seq_ids, target, pad_id=f.pad_id
-                    )
+                    ),
                 )
             else:  # pragma: no cover — mean pooling takes the branch above
-                fields.append(pooling.masked_mean(seq_emb, seq_ids, f.pad_id))
+                _append(f.name, pooling.masked_mean(seq_emb, seq_ids, f.pad_id))
         else:
             raise ValueError(f"unsupported feature type {f.type}")
     return jnp.stack(fields, axis=1)  # (B, F, E)

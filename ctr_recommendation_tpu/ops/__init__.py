@@ -2,6 +2,7 @@ from ctr_recommendation_tpu.ops import (
     attention,
     bilinear,
     cin,
+    crossnet,
     initializers,
     interaction,
     mlp,
@@ -13,6 +14,7 @@ __all__ = [
     "attention",
     "bilinear",
     "cin",
+    "crossnet",
     "initializers",
     "interaction",
     "mlp",

@@ -32,7 +32,8 @@ def init(
 ) -> dict:
     if emb_dim % num_heads:
         raise ValueError(f"emb_dim {emb_dim} not divisible by num_heads {num_heads}")
-    keys = jax.random.split(key, 1 + 5 * num_layers + 1)
+    # 1 pos_emb + 4 per block (qkv/proj/ffn1/ffn2) + 1 pool_q
+    keys = jax.random.split(key, 1 + 4 * num_layers + 1)
     params: dict = {
         "pos_emb": 0.02 * jax.random.normal(keys[0], (max_len, emb_dim)),
         "blocks": [],

@@ -48,13 +48,16 @@ def apply(params: dict, x: jax.Array, bilinear_type: str = "all") -> jax.Array:
     """x: (B, F, E) -> (B, F(F-1)/2, E) stacked pair interactions."""
     num_fields = x.shape[-2]
     i_idx, j_idx = pair_indices(num_fields)
+    # weights cast to the activation dtype (fp32 master copies; without the
+    # cast, promotion lifts a bf16 x back to fp32 — see linear_apply)
     if bilinear_type == "all":
-        v = x @ params["w"]  # (B, F, E) — one batched MXU matmul
+        v = x @ params["w"].astype(x.dtype)  # (B, F, E) — one batched MXU matmul
         return x[..., i_idx, :] * v[..., j_idx, :]
     if bilinear_type == "each":
         # project fields 0..F-2 with their own W_i: (B, F-1, E)
         v = jnp.einsum(
-            "...fe,fed->...fd", x[..., :-1, :], params["w_each"],
+            "...fe,fed->...fd", x[..., :-1, :],
+            params["w_each"].astype(x.dtype),
             preferred_element_type=x.dtype,
         )
         return v[..., i_idx, :] * x[..., j_idx, :]

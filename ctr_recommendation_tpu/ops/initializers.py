@@ -53,7 +53,11 @@ def linear_init(
 
 
 def linear_apply(params: dict[str, jax.Array], x: jax.Array) -> jax.Array:
-    y = x @ params["w"]
+    """Matmul in the ACTIVATION's dtype: weights are stored fp32 (master
+    copies for the optimizer) and cast to x.dtype here — without the cast,
+    JAX type promotion silently lifts bf16 activations back to fp32 and the
+    whole compute_dtype/tower_dtype="compute" path runs fp32 matmuls."""
+    y = x @ params["w"].astype(x.dtype)
     if "b" in params:
-        y = y + params["b"]
+        y = y + params["b"].astype(x.dtype)
     return y

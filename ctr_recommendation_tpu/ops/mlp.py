@@ -31,10 +31,14 @@ def init(
     key: jax.Array,
     in_dim: int,
     hidden_units: Sequence[int],
-    out_dim: int = 1,
+    out_dim: int | None = 1,
     batch_norm: bool = True,
 ) -> tuple[dict, dict]:
-    """Returns (params, state). state holds BatchNorm running stats."""
+    """Returns (params, state). state holds BatchNorm running stats.
+
+    ``out_dim=None`` builds a HEADLESS tower: apply() returns the last
+    hidden activation (post BN/ReLU/dropout) with no extra Linear — the
+    deep-stream shape DCNv2/FinalMLP reference architectures use."""
     params: dict = {"layers": []}
     state: dict = {"layers": []}
     dims = [in_dim, *hidden_units]
@@ -48,7 +52,8 @@ def init(
             st = {"bn_mean": jnp.zeros((d_out,)), "bn_var": jnp.ones((d_out,))}
         params["layers"].append(layer)
         state["layers"].append(st)
-    params["out"] = linear_init(keys[-1], dims[-1], out_dim)
+    if out_dim is not None:
+        params["out"] = linear_init(keys[-1], dims[-1], out_dim)
     return params, state
 
 
@@ -112,7 +117,7 @@ def apply(
             mask = jax.random.bernoulli(jax.random.fold_in(rng, li), keep, h.shape)
             h = jnp.where(mask, h / keep, 0.0)
         new_layers.append(st)
-    out = linear_apply(params["out"], h)
+    out = linear_apply(params["out"], h) if "out" in params else h
     return out, {"layers": new_layers}
 
 
@@ -125,7 +130,9 @@ def fold_batch_norm(params: dict, state: dict) -> dict:
     The folded tower is plain matmul+ReLU stacks — what the fused Pallas
     scoring kernel consumes.
     """
-    folded = {"layers": [], "out": params["out"]}
+    folded = {"layers": []}
+    if "out" in params:
+        folded["out"] = params["out"]
     for layer, st in zip(params["layers"], state["layers"]):
         lin = dict(layer["linear"])
         if "bn_scale" in layer:
