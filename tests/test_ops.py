@@ -193,3 +193,35 @@ def test_crossnet_matches_naive_loop():
     for layer in params["layers"]:
         x = x0 * (x @ layer["w"] + layer["b"]) + x
     np.testing.assert_allclose(np.asarray(got), np.asarray(x), rtol=1e-5, atol=1e-6)
+
+
+def test_ops_stay_in_activation_dtype():
+    """fp32 master weights must be cast to the activation dtype at every
+    matmul — without the cast, promotion silently lifts bf16 activations
+    back to fp32 and the compute_dtype/tower_dtype='compute' path runs
+    fp32 end to end (caught in round 2: the 'bf16 tower' was fp32)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ctr_recommendation_tpu.ops import bilinear as bl
+    from ctr_recommendation_tpu.ops import senet as sn
+    from ctr_recommendation_tpu.ops.initializers import linear_apply, linear_init
+
+    key = jax.random.key(0)
+    lp = linear_init(key, 8, 4)
+    x = jnp.ones((3, 8), jnp.bfloat16)
+    assert linear_apply(lp, x).dtype == jnp.bfloat16
+
+    sp = sn.init(key, 6, 2)
+    xs = jnp.ones((3, 6, 8), jnp.bfloat16)
+    assert sn.apply(sp, xs).dtype == jnp.bfloat16
+
+    for btype in ("all", "each"):
+        bp = bl.init(key, 8, 6, btype)
+        assert bl.apply(bp, xs, btype).dtype == jnp.bfloat16
+
+    from ctr_recommendation_tpu.ops import mlp
+
+    mp_params, mp_state = mlp.init(key, 8, (16,), out_dim=1, batch_norm=True)
+    out, _ = mlp.apply(mp_params, mp_state, x, train=False)
+    assert out.dtype == jnp.bfloat16
