@@ -121,8 +121,25 @@ def test_bn_folded_predictor_matches_unfolded(setup):
         if i >= 3:
             break
     batch = next(iter(iter_batches(valid, fm, 256, item_store=store)))
-    folded = Predictor(exp, trainer.state.params, trainer.state.model_state, fold_bn=True)
-    plain = Predictor(exp, trainer.state.params, trainer.state.model_state, fold_bn=False)
+    # exact fold algebra, verified in fp32 (the default bf16 compute path
+    # now genuinely runs bf16 matmuls, whose rounding swamps a tight
+    # tolerance; the dtype itself is pinned by test_ops dtype tests)
+    import dataclasses
+
+    exp32 = exp.replace(
+        train=dataclasses.replace(exp.train, compute_dtype="float32"),
+        model=dataclasses.replace(exp.model, tower_dtype="float32"),
+    )
+    folded = Predictor(exp32, trainer.state.params, trainer.state.model_state, fold_bn=True)
+    plain = Predictor(exp32, trainer.state.params, trainer.state.model_state, fold_bn=False)
     np.testing.assert_allclose(
         np.asarray(folded(batch)), np.asarray(plain(batch)), rtol=1e-4, atol=1e-5
     )
+    # and at the default (bf16) dtypes, folding must preserve the ranking
+    folded_bf = Predictor(exp, trainer.state.params, trainer.state.model_state, fold_bn=True)
+    plain_bf = Predictor(exp, trainer.state.params, trainer.state.model_state, fold_bn=False)
+    a = np.asarray(folded_bf(batch), np.float64)
+    b = np.asarray(plain_bf(batch), np.float64)
+    np.testing.assert_allclose(a, b, atol=2e-2)
+    corr = np.corrcoef(np.argsort(np.argsort(a)), np.argsort(np.argsort(b)))[0, 1]
+    assert corr > 0.995, corr
