@@ -127,6 +127,8 @@ class ModelConfig:
     # AutoInt interacting layers (models/autoint.py).
     autoint_num_layers: int = 2
     autoint_num_heads: int = 2
+    # DIN local-activation-unit hidden widths (models/din.py).
+    din_att_hidden_units: tuple[int, ...] = (64, 32)
     # SASRec-style attention pooling over the click history.
     attn_num_heads: int = 2
     attn_num_layers: int = 1
@@ -240,6 +242,9 @@ def model_config_from_dict(d: Mapping[str, Any]) -> ModelConfig:
         finalmlp_num_heads=int(d.get("finalmlp_num_heads", base.finalmlp_num_heads)),
         autoint_num_layers=int(d.get("autoint_num_layers", base.autoint_num_layers)),
         autoint_num_heads=int(d.get("autoint_num_heads", base.autoint_num_heads)),
+        din_att_hidden_units=_tupled(
+            d.get("din_att_hidden_units"), base.din_att_hidden_units
+        ),
         attn_num_heads=int(d.get("attn_num_heads", base.attn_num_heads)),
         attn_num_layers=int(d.get("attn_num_layers", base.attn_num_layers)),
         attn_dropout=float(d.get("attn_dropout", base.attn_dropout)),

@@ -23,6 +23,7 @@ from ctr_recommendation_tpu.models import (
     autoint,
     dcnv2,
     deepfm,
+    din,
     fibinet,
     finalmlp,
     sasrec_fibinet,
@@ -55,6 +56,7 @@ register("sasrec_fibinet", sasrec_fibinet)
 register("dcnv2", dcnv2)
 register("deepfm", deepfm)
 register("autoint", autoint)
+register("din", din)
 
 
 def build_model(

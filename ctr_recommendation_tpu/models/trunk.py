@@ -66,6 +66,14 @@ def init(key: jax.Array, fm: FeatureMap, cfg: ModelConfig, *, seq_pooling: str =
             )
             for f in seq_feats
         }
+    elif seq_pooling == "din":
+        seq_feats = fm.features_of_type(FeatureType.SEQUENCE)
+        params["attn"] = {
+            f.name: attn_ops.din_init(
+                next(key_iter), e, cfg.din_att_hidden_units
+            )
+            for f in seq_feats
+        }
     return params
 
 
@@ -132,7 +140,10 @@ def apply(
             h = linear_apply(p["proj"], batch[f.name].astype(jnp.float32))
             h = _layer_norm(h, p["ln_scale"], p["ln_bias"])
             _append(f.name, jax.nn.relu(h).astype(compute_dtype))
-        elif f.type == FeatureType.SEQUENCE and seq_pooling != "attention":
+        elif f.type == FeatureType.SEQUENCE and seq_pooling not in (
+            "attention",
+            "din",
+        ):
             # mean pooling: transposed (S, B) lookup — see the docstring
             seq_ids = batch[f.name].astype(jnp.int32)
             seq_emb = lookup(
@@ -145,6 +156,31 @@ def apply(
             seq_emb = lookup(
                 params["tables"], fm.table_of[f.name], seq_ids, feature=f.name
             ).astype(compute_dtype)
+            # target query = the CATEGORICAL feature sharing this
+            # table (item_id for item_seq), reusing its already-gathered
+            # field embedding when available (one sharded lookup, not
+            # two); else a fresh lookup; else the masked mean. NB: the
+            # table NAME itself is not a valid batch key when the
+            # sequence feature owns its table.
+            target_feat = next(
+                (
+                    g.name
+                    for g in fm.features
+                    if g.type == FeatureType.CATEGORICAL
+                    and fm.table_of.get(g.name) == fm.table_of[f.name]
+                    and g.name in batch
+                ),
+                None,
+            )
+            if target_feat is not None and target_feat in field_of:
+                target = field_of[target_feat]
+            elif target_feat is not None:
+                target = lookup(
+                    params["tables"], fm.table_of[target_feat],
+                    batch[target_feat].astype(jnp.int32), feature=target_feat,
+                ).astype(compute_dtype)
+            else:
+                target = pooling.masked_mean(seq_emb, seq_ids, f.pad_id)
             if seq_pooling == "attention":
                 encoded = attn_ops.encode(
                     params["attn"][f.name],
@@ -158,39 +194,20 @@ def apply(
                         rng, zlib.crc32(f.name.encode()) % (2**31)
                     ),
                 )
-                # target query = the CATEGORICAL feature sharing this
-                # table (item_id for item_seq), reusing its already-gathered
-                # field embedding when available (one sharded lookup, not
-                # two); else a fresh lookup; else the masked mean. NB: the
-                # table NAME itself is not a valid batch key when the
-                # sequence feature owns its table.
-                target_feat = next(
-                    (
-                        g.name
-                        for g in fm.features
-                        if g.type == FeatureType.CATEGORICAL
-                        and fm.table_of.get(g.name) == fm.table_of[f.name]
-                        and g.name in batch
-                    ),
-                    None,
-                )
-                if target_feat is not None and target_feat in field_of:
-                    target = field_of[target_feat]
-                elif target_feat is not None:
-                    target = lookup(
-                        params["tables"], fm.table_of[target_feat],
-                        batch[target_feat].astype(jnp.int32), feature=target_feat,
-                    ).astype(compute_dtype)
-                else:
-                    target = pooling.masked_mean(seq_emb, seq_ids, f.pad_id)
                 _append(
                     f.name,
                     attn_ops.target_pool(
                         params["attn"][f.name], encoded, seq_ids, target, pad_id=f.pad_id
                     ),
                 )
-            else:  # pragma: no cover — mean pooling takes the branch above
-                _append(f.name, pooling.masked_mean(seq_emb, seq_ids, f.pad_id))
+            else:  # "din": local-activation-unit pooling over raw history
+                _append(
+                    f.name,
+                    attn_ops.din_pool(
+                        params["attn"][f.name], seq_emb, seq_ids, target,
+                        pad_id=f.pad_id,
+                    ),
+                )
         else:
             raise ValueError(f"unsupported feature type {f.type}")
     return jnp.stack(fields, axis=1)  # (B, F, E)

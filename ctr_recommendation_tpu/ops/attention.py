@@ -113,6 +113,55 @@ def encode(
     return h
 
 
+def din_init(
+    key: jax.Array, emb_dim: int, hidden_units: tuple[int, ...] = (64, 32)
+) -> dict:
+    """DIN local activation unit (Zhou et al. 2018, "Deep Interest Network").
+
+    An MLP scores each history position against the candidate item from the
+    interaction vector ``[h, h*t, h-t, t]`` (4E wide). Hidden layers use
+    PReLU (the paper's alternative to Dice that needs no running statistics);
+    the last layer is a plain linear to one logit per position.
+    """
+    dims = (4 * emb_dim, *hidden_units, 1)
+    keys = jax.random.split(key, len(dims) - 1)
+    layers = []
+    for i in range(len(dims) - 1):
+        layer = {"lin": linear_init(keys[i], dims[i], dims[i + 1])}
+        if i < len(dims) - 2:  # hidden layers get a PReLU slope
+            layer["alpha"] = jnp.full((dims[i + 1],), 0.25)
+        layers.append(layer)
+    return {"layers": layers}
+
+
+def din_pool(
+    params: dict,
+    seq_emb: jax.Array,
+    seq_ids: jax.Array,
+    target_emb: jax.Array,
+    *,
+    pad_id: int = 0,
+) -> jax.Array:
+    """DIN attention pooling: sum_s w_s * h_s with w from the local
+    activation unit. Deliberately NOT softmax-normalized — the paper keeps
+    the raw activation weights "to retain the intensity of user interests"
+    (§4.3); padding positions contribute zero weight, so an all-pad history
+    pools to zeros (reference fallback parity, model_fibinet.py:176).
+
+    seq_emb (B, S, E), seq_ids (B, S), target_emb (B, E) -> (B, E).
+    """
+    t = jnp.broadcast_to(target_emb[:, None, :], seq_emb.shape)
+    z = jnp.concatenate([seq_emb, seq_emb * t, seq_emb - t, t], axis=-1)
+    layers = params["layers"]
+    for layer in layers[:-1]:
+        z = linear_apply(layer["lin"], z)
+        alpha = layer["alpha"].astype(z.dtype)
+        z = jnp.where(z >= 0, z, alpha * z)  # PReLU
+    w = linear_apply(layers[-1]["lin"], z)[..., 0]  # (B, S)
+    w = jnp.where(seq_ids == pad_id, 0.0, w).astype(seq_emb.dtype)
+    return jnp.einsum("bs,bse->be", w, seq_emb)
+
+
 def target_pool(
     params: dict,
     encoded: jax.Array,

@@ -12,7 +12,10 @@ from ctr_recommendation_tpu.models import available_models, build_model, get_mod
 
 @pytest.mark.parametrize(
     "name",
-    ["mm_fibinet", "xdeepfm", "finalmlp", "sasrec_fibinet", "dcnv2", "deepfm", "autoint"],
+    [
+        "mm_fibinet", "xdeepfm", "finalmlp", "sasrec_fibinet", "dcnv2",
+        "deepfm", "autoint", "din",
+    ],
 )
 def test_forward_shapes_and_grad(name, tiny_experiment, tiny_feature_map, tiny_batch):
     cfg = dataclasses.replace(tiny_experiment.model, model=name)
