@@ -21,7 +21,7 @@ os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
 import numpy as np  # noqa: E402
 
 
-def tiny_experiment(pid: int):
+def tiny_experiment(pid: int, table_optimizer: str = "dense"):
     import dataclasses
 
     from ctr_recommendation_tpu.config import microlens_experiment
@@ -30,13 +30,16 @@ def tiny_experiment(pid: int):
     exp = microlens_experiment(
         data_root="", embedding_dim=16, hidden_units=(32, 16), batch_size=64,
         epochs=1, max_len=8, use_pallas=False,
-        checkpoint_dir=f"/tmp/dist_trainer_ckpt_{pid}",
+        checkpoint_dir=f"/tmp/dist_trainer_ckpt_{table_optimizer}_{pid}",
     )
     ds = dataclasses.replace(
         exp.dataset,
         features=microlens_features(item_vocab=200, cate_vocab=11, max_len=8, mm_dim=24),
     )
-    return exp.replace(dataset=ds)
+    return exp.replace(
+        dataset=ds,
+        train=dataclasses.replace(exp.train, table_optimizer=table_optimizer),
+    )
 
 
 def full_batch():
@@ -58,6 +61,7 @@ def full_batch():
 
 def main() -> None:
     coordinator, nprocs, pid = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    table_optimizer = sys.argv[4] if len(sys.argv) > 4 else "dense"
 
     from ctr_recommendation_tpu.parallel import distributed
 
@@ -69,7 +73,7 @@ def main() -> None:
 
     devices = np.asarray(jax.devices()).reshape(nprocs, 1)
     mesh = Mesh(devices, ("data", "model"))
-    exp = tiny_experiment(pid)
+    exp = tiny_experiment(pid, table_optimizer)
     trainer = Trainer(exp, mesh=mesh, steps_per_epoch=1, log_fn=lambda s: None)
 
     batch = full_batch()

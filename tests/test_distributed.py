@@ -81,9 +81,12 @@ def test_initialize_noop_outside_cluster():
     assert distributed.initialize() is False
 
 
-def test_two_process_trainer_step_matches_single_process():
+@pytest.mark.parametrize("table_optimizer", ["dense", "adam"])
+def test_two_process_trainer_step_matches_single_process(table_optimizer):
     """FULL Trainer step across 2 real processes (dp=2) == single-process
-    Trainer on the same batch: identical loss and identical updated table."""
+    Trainer on the same batch: identical loss and identical updated table.
+    Covers both the dense optax chain and the sparse touched-rows path
+    (whose jnp.unique/remap runs on GLOBAL arrays under multi-controller)."""
     import jax
     import numpy as np
 
@@ -96,7 +99,7 @@ def test_two_process_trainer_step_matches_single_process():
     worker = os.path.join(REPO, "tests", "_distributed_trainer_worker.py")
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, coordinator, "2", str(pid)],
+            [sys.executable, worker, coordinator, "2", str(pid), table_optimizer],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             cwd=REPO, env=env, text=True,
         )
@@ -123,7 +126,8 @@ def test_two_process_trainer_step_matches_single_process():
 
     mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1), ("data", "model"))
     trainer = Trainer(
-        tiny_experiment("ref"), mesh=mesh, steps_per_epoch=1, log_fn=lambda s: None
+        tiny_experiment("ref", table_optimizer),
+        mesh=mesh, steps_per_epoch=1, log_fn=lambda s: None,
     )
     state, metrics = trainer._train_step(
         trainer.state, trainer.put_batch(full_batch()), jax.random.key(0)
