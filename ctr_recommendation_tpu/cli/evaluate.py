@@ -56,6 +56,10 @@ def main(argv=None) -> int:
             ),
             train=dataclasses.replace(exp.train, checkpoint_dir=args.checkpoint_dir),
         )
+        # serving mesh, not the training mesh — see cli/predict.py
+        from ctr_recommendation_tpu.config.schema import MeshConfig
+
+        exp = exp.replace(mesh=MeshConfig())
     else:
         exp = microlens_experiment(
             data_root=args.data_root,

@@ -48,6 +48,14 @@ def main(argv=None) -> int:
             ),
             train=dataclasses.replace(exp.train, checkpoint_dir=args.checkpoint_dir),
         )
+        # Serving ignores the TRAINING mesh: a checkpoint trained with
+        # model_parallel>1 on a pod must restore on this host's devices
+        # (replicated) — make_mesh would otherwise demand the pod's exact
+        # device count. Orbax re-places the saved global arrays onto the
+        # serving sharding at restore.
+        from ctr_recommendation_tpu.config.schema import MeshConfig
+
+        exp = exp.replace(mesh=MeshConfig())
     else:
         overrides = {"checkpoint_dir": args.checkpoint_dir}
         if args.embedding_dim:
