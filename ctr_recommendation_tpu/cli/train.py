@@ -38,6 +38,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--embedding-dim", type=int, default=None)
+    p.add_argument("--embedding-init-std", type=float, default=None,
+                   help="embedding table init N(0, std); 1.0 = torch parity, "
+                        "0.01 for raw-product-logit models (e.g. deepfm)")
     p.add_argument("--learning-rate", type=float, default=None)
     p.add_argument("--optimizer", default=None)
     p.add_argument("--table-optimizer", default=None,
@@ -69,8 +72,8 @@ def main(argv=None) -> int:
     from ctr_recommendation_tpu.config.schema import MeshConfig
 
     overrides = {}
-    for k in ("epochs", "batch_size", "embedding_dim", "learning_rate", "optimizer",
-              "table_optimizer", "checkpoint_dir"):
+    for k in ("epochs", "batch_size", "embedding_dim", "embedding_init_std",
+              "learning_rate", "optimizer", "table_optimizer", "checkpoint_dir"):
         v = getattr(args, k)
         if v is not None:
             overrides[k] = v
@@ -109,7 +112,11 @@ def main(argv=None) -> int:
         if args.model:
             exp = exp.replace(model=dataclasses.replace(exp.model, model=args.model))
         for k, v in overrides.items():
-            target = "model" if k in ("embedding_dim", "use_pallas") else "train"
+            target = (
+                "model"
+                if k in ("embedding_dim", "embedding_init_std", "use_pallas")
+                else "train"
+            )
             exp = exp.replace(**{target: dataclasses.replace(getattr(exp, target), **{k: v})})
     else:
         if not args.data_root:

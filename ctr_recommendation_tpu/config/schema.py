@@ -109,6 +109,13 @@ class ModelConfig:
 
     model: str = "mm_fibinet"
     embedding_dim: int = 128
+    # Embedding-table init scale: N(0, std). 1.0 is torch nn.Embedding
+    # parity (the reference's init, convergence-critical for reproducing its
+    # logged run — SURVEY §7(c)). Models whose logits are raw products of
+    # field embeddings (deepfm's FM term) saturate BCE at std 1.0 with
+    # E=128; 0.01 is the usual CTR-framework choice for those (measured in
+    # docs/PERFORMANCE.md).
+    embedding_init_std: float = 1.0
     # FiBiNET (model_fibinet.py:114,118; reference hardcodes "all"/r=2 —
     # code wins over its YAML per SURVEY §5.6).
     bilinear_type: str = "all"  # "all" | "each"
@@ -226,6 +233,9 @@ def model_config_from_dict(d: Mapping[str, Any]) -> ModelConfig:
     return ModelConfig(
         model=str(d.get("model", base.model)).lower(),
         embedding_dim=int(d.get("embedding_dim", base.embedding_dim)),
+        embedding_init_std=float(
+            d.get("embedding_init_std", base.embedding_init_std)
+        ),
         bilinear_type=str(d.get("bilinear_type", base.bilinear_type)),
         senet_reduction=int(d.get("senet_reduction", base.senet_reduction)),
         senet_bias=bool(d.get("senet_bias", base.senet_bias)),

@@ -41,11 +41,13 @@ def from_dict(d: dict[str, Any]) -> ExperimentConfig:
         FeatureSpec(**{**f, "type": FeatureType(f["type"])})
         for f in ds["features"]
     )
-    model = dict(d["model"])
-    for key in ("hidden_units", "cin_layer_units", "finalmlp_stream1_units",
-                "finalmlp_stream2_units"):
-        if key in model and model[key] is not None:
-            model[key] = tuple(model[key])
+    # JSON has no tuples: every list-valued model field is a tuple field
+    # (hidden_units, cin_layer_units, finalmlp_*_units, din_att_hidden_units,
+    # and any future ones) — coerce generically so a new field can't silently
+    # break the round-trip again.
+    model = {
+        k: tuple(v) if isinstance(v, list) else v for k, v in d["model"].items()
+    }
     return ExperimentConfig(
         expid=d["expid"],
         dataset=DatasetConfig(**ds),

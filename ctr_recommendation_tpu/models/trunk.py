@@ -46,7 +46,8 @@ def init(key: jax.Array, fm: FeatureMap, cfg: ModelConfig, *, seq_pooling: str =
         # rows padded to a lane-width multiple so any model-parallel degree
         # divides the table evenly (padded rows are never addressed).
         params["tables"][t.name] = embedding_init(
-            next(key_iter), round_up_vocab(t.vocab_size), e, pad_id=t.pad_id
+            next(key_iter), round_up_vocab(t.vocab_size), e, pad_id=t.pad_id,
+            std=cfg.embedding_init_std,
         )
     for f in fm.features_of_type(FeatureType.DENSE_EMBEDDING):
         params["dense"][f.name] = {

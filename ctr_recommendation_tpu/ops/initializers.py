@@ -17,10 +17,12 @@ import jax.numpy as jnp
 
 def embedding_init(
     key: jax.Array, vocab_size: int, dim: int, pad_id: int | None = None,
-    dtype=jnp.float32,
+    dtype=jnp.float32, std: float = 1.0,
 ) -> jax.Array:
-    """torch nn.Embedding default: N(0,1); pad row zeroed."""
-    table = jax.random.normal(key, (vocab_size, dim), dtype=dtype)
+    """torch nn.Embedding default: N(0, std) with std=1; pad row zeroed.
+    ``std`` < 1 for models whose logits are raw embedding products
+    (config.schema ModelConfig.embedding_init_std)."""
+    table = std * jax.random.normal(key, (vocab_size, dim), dtype=dtype)
     if pad_id is not None:
         table = table.at[pad_id].set(0.0)
     return table
