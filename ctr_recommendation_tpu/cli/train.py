@@ -48,6 +48,9 @@ def build_argparser() -> argparse.ArgumentParser:
                         "semantics) | adagrad | rowwise_adagrad | adam "
                         "(touched-rows-only sparse updates)")
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=None,
+                   help="full-state resume-point cadence in epochs (best "
+                        "export still saves on every improvement)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--model-parallel", type=int, default=1)
     p.add_argument("--no-pallas", action="store_true")
@@ -73,7 +76,8 @@ def main(argv=None) -> int:
 
     overrides = {}
     for k in ("epochs", "batch_size", "embedding_dim", "embedding_init_std",
-              "learning_rate", "optimizer", "table_optimizer", "checkpoint_dir"):
+              "learning_rate", "optimizer", "table_optimizer", "checkpoint_dir",
+              "checkpoint_every"):
         v = getattr(args, k)
         if v is not None:
             overrides[k] = v

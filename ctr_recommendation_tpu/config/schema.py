@@ -189,6 +189,13 @@ class TrainConfig:
     tensorboard: bool = True
     checkpoint_dir: str = "checkpoints"
     keep_checkpoints: int = 3
+    # Full-state resume-point cadence (epochs). The best-metric EXPORT is
+    # still written whenever the monitored metric improves; this only spaces
+    # the preemption-recovery checkpoints. At full MicroLens scale the state
+    # save costs ~4 s/epoch through this environment's D2H tunnel vs a
+    # 2.3 s train epoch — raise this when epochs are that cheap. The final
+    # epoch is always checkpointed.
+    checkpoint_every: int = 1
     # Mixed precision: params fp32, interaction/tower compute bf16.
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
@@ -297,6 +304,7 @@ def train_config_from_dict(d: Mapping[str, Any]) -> TrainConfig:
         tensorboard=bool(d.get("tensorboard", base.tensorboard)),
         checkpoint_dir=str(d.get("checkpoint_dir", base.checkpoint_dir)),
         keep_checkpoints=int(d.get("keep_checkpoints", base.keep_checkpoints)),
+        checkpoint_every=int(d.get("checkpoint_every", base.checkpoint_every)),
         compute_dtype=str(d.get("compute_dtype", base.compute_dtype)),
         param_dtype=str(d.get("param_dtype", base.param_dtype)),
     )

@@ -583,11 +583,12 @@ class Trainer:
                     self.log(
                         f"[epoch {epoch + 1}] new best {tc.monitor}={metric:.4f} — exported"
                     )
-            # Full-state resume point every epoch regardless of
-            # save_best_only (cheap; pruned by max_to_keep) — closes the
+            # Full-state resume point every checkpoint_every epochs (and
+            # always at the end) regardless of save_best_only — closes the
             # preemption-recovery gap the reference has (SURVEY §5.3); the
             # best-metric EXPORT above is still gated on improvement.
-            self.ckpt.save(epoch + 1, self.state)
+            if (epoch + 1) % tc.checkpoint_every == 0 or epoch + 1 == tc.epochs:
+                self.ckpt.save(epoch + 1, self.state)
             self.log(
                 f"[epoch {epoch + 1}] loss {train_loss:.4f} "
                 + " ".join(
@@ -729,8 +730,9 @@ class Trainer:
                         f"[epoch {epoch + 1}] new best {tc.monitor}={metric:.4f} — exported"
                     )
             t_save = time.time()
-            self.ckpt.save(epoch + 1, self.state)
-            entry["checkpoint_seconds"] = time.time() - t_save
+            if (epoch + 1) % tc.checkpoint_every == 0 or epoch + 1 == tc.epochs:
+                self.ckpt.save(epoch + 1, self.state)
+                entry["checkpoint_seconds"] = time.time() - t_save
             self.log(
                 f"[epoch {epoch + 1}] loss {train_loss:.4f} "
                 + " ".join(

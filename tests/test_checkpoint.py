@@ -90,3 +90,44 @@ def test_trainer_seed_best_from_export(tmp_path):
     assert abs(trainer._seed_best(-np.inf) - 0.88) < 1e-9
     # an in-memory best better than the persisted one wins
     assert abs(trainer._seed_best(0.93) - 0.93) < 1e-9
+
+
+def test_checkpoint_every_cadence(tmp_path):
+    """checkpoint_every=2 over 5 epochs saves resume points at {2, 4, 5}
+    (final epoch always saved) and --resume continues from the latest."""
+    import dataclasses
+
+    from ctr_recommendation_tpu.config import microlens_experiment
+    from ctr_recommendation_tpu.config.loader import microlens_features
+    from ctr_recommendation_tpu.training import Trainer
+    from __graft_entry__ import _fake_batch
+
+    exp = microlens_experiment(
+        data_root="", embedding_dim=8, hidden_units=(16, 8), batch_size=64,
+        epochs=5, max_len=4, use_pallas=False,
+        checkpoint_dir=str(tmp_path / "ckpt"), checkpoint_every=2,
+    )
+    exp = exp.replace(
+        dataset=dataclasses.replace(
+            exp.dataset,
+            features=microlens_features(
+                item_vocab=64, cate_vocab=11, max_len=4, mm_dim=8
+            ),
+        )
+    )
+    n = 256
+    raw = _fake_batch(np.random.default_rng(0), n, 64, 4, 8)
+
+    class _S:
+        columns = raw
+        num_rows = n
+
+    tr = Trainer(exp, steps_per_epoch=n // 64, log_fn=lambda s: None)
+    tr.fit_on_device(_S(), _S())
+    steps = set(tr.ckpt._mgr.all_steps())
+    assert 5 in steps and 4 in steps and 1 not in steps and 3 not in steps
+
+    tr2 = Trainer(exp, steps_per_epoch=n // 64, log_fn=lambda s: None)
+    hist = tr2.fit_on_device(_S(), _S(), resume=True)
+    # already complete: resume from epoch 5 runs zero further epochs
+    assert hist == []
