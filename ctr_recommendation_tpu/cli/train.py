@@ -176,7 +176,14 @@ def run_training(
     # explicit all-to-all lookup
     sparse_tables = exp.train.table_optimizer != "dense"
     lookup = (
-        make_sharded_lookup(mesh, feature_map=fm)
+        make_sharded_lookup(
+            mesh,
+            model_axis=exp.mesh.model_axis,
+            data_axis=exp.mesh.data_axis,
+            method=exp.mesh.lookup_method,
+            capacity_factor=exp.mesh.lookup_capacity_factor,
+            feature_map=fm,
+        )
         if exp.mesh.model_parallel > 1 and not sparse_tables
         else None
     )

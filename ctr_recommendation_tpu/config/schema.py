@@ -211,6 +211,13 @@ class MeshConfig:
     # -1 = all remaining devices.
     data_parallel: int = -1
     model_parallel: int = 1
+    # Row-sharded lookup exchange (parallel/embedding.py): "all_to_all"
+    # (capacity-bucketed id routing, the default) or "psum" (mask-gather-
+    # all-reduce; latency-optimal for tiny lookups, otherwise ~2x the bytes).
+    lookup_method: str = "all_to_all"
+    # Send-bucket slack over the balanced n/mp ids per shard; overflow
+    # falls back to psum (correct, just slower).
+    lookup_capacity_factor: float = 1.25
 
     @property
     def axis_names(self) -> tuple[str, str]:
