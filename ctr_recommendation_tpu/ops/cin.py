@@ -49,17 +49,46 @@ def init(key: jax.Array, num_fields: int, layer_units: Sequence[int]) -> dict:
 
 
 def apply(params: dict, x0: jax.Array) -> jax.Array:
-    """x0: (B, F, E) -> CIN logit contribution (B, 1)."""
+    """x0: (B, F, E) -> CIN logit contribution (B, 1).
+
+    The LAST layer's feature maps are only ever E-sum-pooled, so its giant
+    (B, H, E) output -- and the (B, H_prev, F, E) HBM intermediate XLA
+    materializes to build it, ~403 MB/pass at MicroLens shapes, the xdeepfm
+    train step's dominant cost -- never needs to exist. Reassociate:
+
+        pooled[b,h] = sum_e sum_{i,f} W[h,i,f] X[b,i,e] X0[b,f,e]
+                    = sum_{i,f} W[h,i,f] * P[b,i,f],
+        P[b,i,f]    = sum_e X[b,i,e] X0[b,f,e]       (a tiny (B, H_prev, F))
+
+    Measured on the chip at full MicroLens shapes: last-layer fwd+bwd
+    1.64 ms vs 3.95 ms direct (2.4x); forward alone ties. A fused Pallas
+    CIN kernel was built, parity-tested, and measured SLOWER than XLA both
+    ways (lane-broadcast + N=64 matmuls underutilize the MXU; see
+    docs/PERFORMANCE.md) -- deleted; the algebra above is the keeper.
+    Non-last layers keep the direct contraction (their outputs feed the
+    next layer, and their H_prev=F intermediates are ~5x smaller).
+    """
     from ctr_recommendation_tpu.ops.initializers import linear_apply
 
     x_prev = x0
     pooled = []
-    for w in params["filters"]:
-        # (B, H_prev, E) x (B, F, E) -> (B, H, E) through W (H, H_prev, F)
-        x_prev = jnp.einsum(
-            "bie,bje,hij->bhe", x_prev, x0, w.astype(x0.dtype),
-            preferred_element_type=x0.dtype,
-        )
-        pooled.append(jnp.sum(x_prev, axis=-1))  # (B, H)
+    filters = params["filters"]
+    for k, w in enumerate(filters):
+        if k == len(filters) - 1:
+            p = jnp.einsum(
+                "bie,bfe->bif", x_prev, x0, preferred_element_type=jnp.float32
+            )
+            pooled.append(
+                jnp.einsum(
+                    "bif,hif->bh", p, w, preferred_element_type=jnp.float32
+                ).astype(x0.dtype)
+            )
+        else:
+            # (B, H_prev, E) x (B, F, E) -> (B, H, E) through W (H, H_prev, F)
+            x_prev = jnp.einsum(
+                "bie,bje,hij->bhe", x_prev, x0, w.astype(x0.dtype),
+                preferred_element_type=x0.dtype,
+            )
+            pooled.append(jnp.sum(x_prev, axis=-1))  # (B, H)
     feats = jnp.concatenate(pooled, axis=-1)
     return linear_apply(params["out"], feats)

@@ -225,3 +225,39 @@ def test_ops_stay_in_activation_dtype():
     mp_params, mp_state = mlp.init(key, 8, (16,), out_dim=1, batch_norm=True)
     out, _ = mlp.apply(mp_params, mp_state, x, train=False)
     assert out.dtype == jnp.bfloat16
+
+
+def test_cin_last_layer_p_factorization_matches_direct():
+    """The P-factorized last layer (apply's shipped form) == the direct
+    materialize-then-pool contraction, forward and gradients."""
+    b, f, e = 48, 5, 16
+    x = jax.random.normal(jax.random.key(0), (b, f, e), jnp.float32)
+    params = cin.init(jax.random.key(1), f, (8, 4))
+    params["out"]["w"] = jax.random.normal(jax.random.key(2), params["out"]["w"].shape)
+
+    def direct_apply(p, x0):
+        from ctr_recommendation_tpu.ops.initializers import linear_apply
+        x_prev = x0
+        pooled = []
+        for w in p["filters"]:
+            x_prev = jnp.einsum("bie,bje,hij->bhe", x_prev, x0, w)
+            pooled.append(jnp.sum(x_prev, axis=-1))
+        return linear_apply(p["out"], jnp.concatenate(pooled, axis=-1))
+
+    ref = direct_apply(params, x)
+    got = cin.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+    g_ref = jax.grad(lambda p, xx: jnp.sum(direct_apply(p, xx) ** 2), argnums=(0, 1))(params, x)
+    g_got = jax.grad(lambda p, xx: jnp.sum(cin.apply(p, xx) ** 2), argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(np.asarray(g_got[1]), np.asarray(g_ref[1]), rtol=2e-3, atol=2e-3)
+    for wr, wk in zip(g_ref[0]["filters"], g_got[0]["filters"]):
+        np.testing.assert_allclose(np.asarray(wk), np.asarray(wr), rtol=2e-3, atol=2e-3)
+
+
+def test_cin_single_layer_bf16_stays_bf16():
+    b, f, e = 32, 4, 16
+    x = jax.random.normal(jax.random.key(0), (b, f, e), jnp.bfloat16)
+    params = cin.init(jax.random.key(1), f, (8,))
+    out = cin.apply(params, x)
+    assert out.dtype == jnp.bfloat16
