@@ -136,6 +136,10 @@ class ModelConfig:
     autoint_num_heads: int = 2
     # DIN local-activation-unit hidden widths (models/din.py).
     din_att_hidden_units: tuple[int, ...] = (64, 32)
+    # MaskNet parallel blocks (models/masknet.py).
+    masknet_blocks: int = 4
+    masknet_block_dim: int = 64
+    masknet_agg_ratio: float = 2.0  # mask bottleneck = ratio * F*E
     # SASRec-style attention pooling over the click history.
     attn_num_heads: int = 2
     attn_num_layers: int = 1
@@ -269,6 +273,9 @@ def model_config_from_dict(d: Mapping[str, Any]) -> ModelConfig:
         din_att_hidden_units=_tupled(
             d.get("din_att_hidden_units"), base.din_att_hidden_units
         ),
+        masknet_blocks=int(d.get("masknet_blocks", base.masknet_blocks)),
+        masknet_block_dim=int(d.get("masknet_block_dim", base.masknet_block_dim)),
+        masknet_agg_ratio=float(d.get("masknet_agg_ratio", base.masknet_agg_ratio)),
         attn_num_heads=int(d.get("attn_num_heads", base.attn_num_heads)),
         attn_num_layers=int(d.get("attn_num_layers", base.attn_num_layers)),
         attn_dropout=float(d.get("attn_dropout", base.attn_dropout)),

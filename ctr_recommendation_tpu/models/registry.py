@@ -26,6 +26,7 @@ from ctr_recommendation_tpu.models import (
     din,
     fibinet,
     finalmlp,
+    masknet,
     sasrec_fibinet,
     xdeepfm,
 )
@@ -57,6 +58,7 @@ register("dcnv2", dcnv2)
 register("deepfm", deepfm)
 register("autoint", autoint)
 register("din", din)
+register("masknet", masknet)
 
 
 def build_model(
