@@ -32,6 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--epochs", type=int, default=5)
+    p.add_argument("--checkpoint-every", type=int, default=1)
     p.add_argument("--rows", type=int, default=3_072_000 + 615_000 + 100_000)
     p.add_argument("--table-optimizer", default="adam",
                help="dense | adagrad | rowwise_adagrad | adam (lazy). Lazy adam matches the dense Adam AUC trajectory exactly at this scale; rowwise_adagrad trades ~0.08 AUC for +6% throughput here — see docs/PERFORMANCE.md")
@@ -69,6 +70,7 @@ def main() -> int:
         epochs=args.epochs,
         checkpoint_dir=os.path.join(root, "ckpt"),
         table_optimizer=args.table_optimizer,
+        checkpoint_every=args.checkpoint_every,
     )
     fm = build_feature_map(exp.dataset)
     train = load_split(os.path.join(root, "train.parquet"), fm)
