@@ -88,6 +88,7 @@ def _parse_feature(
         name=name,
         type=ftype,
         vocab_size=merged.get("vocab_size"),
+        hash_buckets=merged.get("hash_buckets"),
         share_embedding=merged.get("share_embedding"),
         pad_id=int(merged.get("pad_id", 0)),
         max_len=merged.get("max_len", max_len if ftype == FeatureType.SEQUENCE else None),

@@ -49,6 +49,13 @@ class FeatureSpec:
     type: FeatureType
     # Vocab size for CATEGORICAL / SEQUENCE (rows in the embedding table).
     vocab_size: int | None = None
+    # Hash trick: when set, ids are hashed ON DEVICE into [1, hash_buckets)
+    # (multiplicative Knuth hash inside the jitted step) and the table gets
+    # hash_buckets rows — unbounded/unknown id spaces become safe instead of
+    # out-of-range (the reference KeyErrors on unseen train ids,
+    # dataloader.py:104-106). pad_id is preserved exactly (never hashed).
+    # vocab_size is ignored when this is set.
+    hash_buckets: int | None = None
     # Share an embedding table with another feature (by that feature's name).
     # The reference shares one table between likes_level/views_level
     # (model_fibinet.py:102,155-156) and between item_id/item_seq
@@ -69,13 +76,31 @@ class FeatureSpec:
 
     def __post_init__(self) -> None:
         if self.type in (FeatureType.CATEGORICAL, FeatureType.SEQUENCE):
-            if self.share_embedding is None and not self.vocab_size:
+            if (
+                self.share_embedding is None
+                and not self.vocab_size
+                and not self.hash_buckets
+            ):
                 raise ValueError(
                     f"feature {self.name!r}: {self.type.value} features need "
-                    "vocab_size (or share_embedding)"
+                    "vocab_size or hash_buckets (or share_embedding)"
+                )
+            if self.hash_buckets is not None and self.hash_buckets < 2:
+                raise ValueError(
+                    f"feature {self.name!r}: hash_buckets must be >= 2 "
+                    "(row 0 is reserved for the pad id)"
                 )
         if self.type == FeatureType.SEQUENCE and not self.max_len:
             raise ValueError(f"feature {self.name!r}: sequence features need max_len")
+        if (
+            self.type == FeatureType.SEQUENCE
+            and self.hash_buckets is not None
+            and self.pad_id != 0
+        ):
+            raise ValueError(
+                f"feature {self.name!r}: hashed sequences require pad_id 0 "
+                "(hashes land in [1, buckets), so only row 0 is collision-free)"
+            )
         if self.type == FeatureType.DENSE_EMBEDDING and not self.dense_dim:
             raise ValueError(f"feature {self.name!r}: dense features need dense_dim")
 

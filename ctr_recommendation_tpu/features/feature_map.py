@@ -21,6 +21,9 @@ class TableSpec:
     name: str  # named after the first feature that owns it
     vocab_size: int
     pad_id: int | None  # row zeroed at init & kept out of gradient updates
+    # Hash-trick table: ids are hashed on device into [1, vocab_size) before
+    # lookup (FeatureSpec.hash_buckets); vocab_size == the bucket count.
+    hashed: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -80,8 +83,11 @@ def build_feature_map(dataset: DatasetConfig) -> FeatureMap:
         if f.type not in (FeatureType.CATEGORICAL, FeatureType.SEQUENCE):
             continue
         owner = _owner(f)
-        if owner.vocab_size is None:
-            raise ValueError(f"table owner {owner.name!r} has no vocab_size")
+        vocab = owner.hash_buckets or owner.vocab_size
+        if vocab is None:
+            raise ValueError(
+                f"table owner {owner.name!r} has no vocab_size or hash_buckets"
+            )
         table_of[f.name] = owner.name
         if all(t.name != owner.name for t in tables):
             # A table gets a pad row iff any user of it declares one (e.g. the
@@ -99,7 +105,12 @@ def build_feature_map(dataset: DatasetConfig) -> FeatureMap:
                 )
             pad_id = next(iter(seq_pads)) if seq_pads else None
             tables.append(
-                TableSpec(name=owner.name, vocab_size=owner.vocab_size, pad_id=pad_id)
+                TableSpec(
+                    name=owner.name,
+                    vocab_size=vocab,
+                    pad_id=pad_id,
+                    hashed=owner.hash_buckets is not None,
+                )
             )
 
     return FeatureMap(

@@ -81,9 +81,14 @@ class Predictor:
                 self._mm_tables[dense_name] = emb
 
         join_plan = self._join_plan
+        from ctr_recommendation_tpu.features.hashing import apply_hashing, hash_plan
+
+        hplan = hash_plan(fm)
 
         def device_join(feats, mm_tables):
-            return _device_join(feats, mm_tables, join_plan)
+            # join by RAW ids first, then hash for the embedding lookup —
+            # mirrors Trainer._device_join exactly
+            return apply_hashing(_device_join(feats, mm_tables, join_plan), hplan)
 
         use_fused = (
             cfg.use_pallas

@@ -139,6 +139,11 @@ class Trainer:
         )
 
         self._join_plan = dense_join_plan(self.fm)
+        from ctr_recommendation_tpu.features.hashing import hash_plan
+
+        # hash-trick features: ids hashed on device after the item join
+        # (which indexes by raw id), before lookup / sparse remap
+        self._hash_plan = hash_plan(self.fm)
         self._mm_tables: dict[str, jax.Array] = {}
         if item_store is not None:
             for dense_name, _ in self._join_plan:
@@ -217,8 +222,10 @@ class Trainer:
     # ------------------------------------------------------------------ steps
     def _device_join(self, feats: dict, mm_tables: dict) -> dict:
         from ctr_recommendation_tpu.data.device_store import device_join
+        from ctr_recommendation_tpu.features.hashing import apply_hashing
 
-        return device_join(feats, mm_tables, self._join_plan)
+        feats = device_join(feats, mm_tables, self._join_plan)
+        return apply_hashing(feats, self._hash_plan)
 
     def _train_step(self, state, batch, rng):
         return self._train_step_fn(state, batch, self._mm_tables, rng)
