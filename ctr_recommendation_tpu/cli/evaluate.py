@@ -25,6 +25,11 @@ def main(argv=None) -> int:
     p.add_argument("--model", default="mm_fibinet")
     p.add_argument("--checkpoint-dir", default="checkpoints")
     p.add_argument("--batch-size", type=int, default=8192)
+    p.add_argument(
+        "--gauc-col",
+        default=None,
+        help="also report group AUC keyed by this id column (e.g. user_id)",
+    )
     args = p.parse_args(argv)
 
     from ctr_recommendation_tpu.utils import compilation_cache
@@ -98,18 +103,37 @@ def main(argv=None) -> int:
         exp, trainer.state.params, trainer.state.model_state, item_store=store
     )
 
-    probs_all, labels_all = [], []
+    probs_all, labels_all, groups_all = [], [], []
     for batch in iter_batches(data, fm, args.batch_size):
         probs = np.asarray(pred(batch))
         w = np.asarray(batch.get("__weight__", np.ones(len(probs))))
         probs_all.append(probs[w > 0])
         labels_all.append(np.asarray(batch[fm.label])[w > 0])
+        if args.gauc_col:
+            if args.gauc_col not in batch:
+                import sys
+
+                print(
+                    f"--gauc-col {args.gauc_col!r} is not a batch column "
+                    f"(have: {sorted(k for k in batch if k != '__weight__')})",
+                    file=sys.stderr,
+                )
+                return 2
+            groups_all.append(np.asarray(batch[args.gauc_col])[w > 0])
     probs = jnp.asarray(np.concatenate(probs_all))
     labels = jnp.asarray(np.concatenate(labels_all))
 
     a = float(auc(labels, probs))
     ll = float(logloss(labels, probs))
-    print(f"[eval] rows={probs.shape[0]} AUC={a:.6f} logloss={ll:.6f}")
+    extra = ""
+    if args.gauc_col:
+        from ctr_recommendation_tpu.training.metrics import group_auc
+
+        ga = group_auc(
+            np.asarray(labels), np.asarray(probs), np.concatenate(groups_all)
+        )
+        extra = f" gAUC[{args.gauc_col}]={ga:.6f}"
+    print(f"[eval] rows={probs.shape[0]} AUC={a:.6f} logloss={ll:.6f}{extra}")
     return 0
 
 

@@ -102,6 +102,51 @@ def binned_auc_finalize(hist_pos: jax.Array, hist_neg: jax.Array) -> jax.Array:
     return jnp.where(denom > 0, u / jnp.maximum(denom, 1.0), 0.5)
 
 
+def group_auc(labels, scores, groups) -> float:
+    """gAUC: impression-weighted mean of per-group (e.g. per-user) AUC over
+    groups containing both classes — the standard CTR ranking metric the
+    plain AUC hides (a model can rank across users well but within users
+    badly). Host-side numpy (variable group sizes are hostile to jit; eval
+    runs once per epoch). Tie-aware (average ranks), sklearn-parity tested.
+
+    Returns 0.5 when no group has both classes (global-AUC fallback parity).
+    """
+    import numpy as np
+
+    labels = np.asarray(labels, np.float64)
+    scores = np.asarray(scores, np.float64)
+    groups = np.asarray(groups)
+    order = np.argsort(groups, kind="stable")
+    g, l, s = groups[order], labels[order], scores[order]
+    starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]]) if len(g) else np.array([], int)
+    ends = np.r_[starts[1:], len(g)] if len(starts) else np.array([], int)
+
+    def _avg_ranks(a: "np.ndarray") -> "np.ndarray":
+        o = np.argsort(a, kind="mergesort")
+        sa = a[o]
+        ranks = np.empty(len(a))
+        # average rank within runs of equal values
+        boundary = np.flatnonzero(np.r_[True, sa[1:] != sa[:-1], True])
+        for i in range(len(boundary) - 1):
+            lo, hi = boundary[i], boundary[i + 1]
+            ranks[o[lo:hi]] = 0.5 * (lo + 1 + hi)
+        return ranks
+
+    num = 0.0
+    den = 0.0
+    for a, b in zip(starts, ends):
+        li = l[a:b]
+        n_pos = float(li.sum())
+        n_neg = (b - a) - n_pos
+        if n_pos == 0 or n_neg == 0:
+            continue
+        ranks = _avg_ranks(s[a:b])
+        u = float(ranks[li > 0].sum()) - n_pos * (n_pos + 1.0) / 2.0
+        num += (b - a) * (u / (n_pos * n_neg))
+        den += b - a
+    return num / den if den else 0.5
+
+
 @jax.jit
 def logloss(labels: jax.Array, probs: jax.Array, weight: jax.Array | None = None) -> jax.Array:
     labels = labels.astype(jnp.float32)

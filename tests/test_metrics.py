@@ -72,3 +72,40 @@ def test_logloss_matches_sklearn():
     got = float(M.logloss(labels, probs))
     want = log_loss(labels, probs, labels=[0, 1])
     assert abs(got - want) < 1e-5
+
+
+def test_group_auc_matches_sklearn_per_group():
+    from sklearn.metrics import roc_auc_score
+
+    from ctr_recommendation_tpu.training.metrics import group_auc
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    groups = rng.integers(0, 120, size=n)
+    labels = (rng.random(n) < 0.4).astype(np.float32)
+    # scores with ties so the tie-averaging path is exercised
+    scores = np.round(rng.random(n), 2).astype(np.float32)
+
+    got = group_auc(labels, scores, groups)
+
+    num = den = 0.0
+    for g in np.unique(groups):
+        m = groups == g
+        if labels[m].min() == labels[m].max():
+            continue
+        num += m.sum() * roc_auc_score(labels[m], scores[m])
+        den += m.sum()
+    want = num / den
+    assert abs(got - want) < 1e-9
+
+
+def test_group_auc_degenerate_groups():
+    from ctr_recommendation_tpu.training.metrics import group_auc
+
+    # every group single-class -> 0.5 fallback
+    labels = np.array([1, 1, 0, 0], np.float32)
+    groups = np.array([0, 0, 1, 1])
+    scores = np.array([0.9, 0.1, 0.8, 0.2], np.float32)
+    assert group_auc(labels, scores, groups) == 0.5
+    # empty input
+    assert group_auc(np.array([]), np.array([]), np.array([])) == 0.5
