@@ -199,7 +199,7 @@ class TrainConfig:
     weight_decay: float = 1e-5
     # OneCycleLR max_lr = onecycle_peak_factor * learning_rate
     # (train_fibinet.py:83-92).
-    lr_schedule: str = "onecycle"  # "onecycle" | "constant"
+    lr_schedule: str = "onecycle"  # "onecycle" | "cosine" | "constant"
     onecycle_peak_factor: float = 10.0
     onecycle_pct_start: float = 0.3
     onecycle_div_factor: float = 25.0

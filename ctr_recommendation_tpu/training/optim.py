@@ -20,6 +20,17 @@ from ctr_recommendation_tpu.config.schema import TrainConfig
 def make_schedule(cfg: TrainConfig, total_steps: int) -> optax.Schedule:
     if cfg.lr_schedule == "constant":
         return optax.constant_schedule(cfg.learning_rate)
+    if cfg.lr_schedule == "cosine":
+        # warmup-cosine, reusing the onecycle knobs: warm from lr/div_factor
+        # to lr over pct_start of the run, cosine-decay to lr/final_div
+        total = max(total_steps, 4)
+        return optax.warmup_cosine_decay_schedule(
+            init_value=cfg.learning_rate / cfg.onecycle_div_factor,
+            peak_value=cfg.learning_rate,
+            warmup_steps=max(1, int(cfg.onecycle_pct_start * total)),
+            decay_steps=total,
+            end_value=cfg.learning_rate / cfg.onecycle_final_div_factor,
+        )
     if cfg.lr_schedule == "onecycle":
         # optax's onecycle divides by interval widths int(pct_start * T) and
         # T - that; T <= 3 makes one interval zero-width and every lr NaN —

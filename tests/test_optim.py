@@ -69,3 +69,19 @@ def test_grad_clip_applied():
     updates, _ = tx.update(huge, tx.init(params), params)
     # after clipping to norm 1, the adam-normalized update magnitude is ~lr
     assert float(optax.global_norm(updates)) < 10.0
+
+def test_cosine_schedule_shape():
+    import dataclasses
+
+    from ctr_recommendation_tpu.config.schema import TrainConfig
+    from ctr_recommendation_tpu.training.optim import make_schedule
+
+    cfg = dataclasses.replace(TrainConfig(), lr_schedule="cosine", learning_rate=1e-3)
+    s = make_schedule(cfg, total_steps=1000)
+    lrs = [float(s(i)) for i in (0, 150, 300, 999)]
+    assert abs(lrs[0] - 1e-3 / cfg.onecycle_div_factor) < 1e-9  # warmup start
+    assert lrs[2] <= 1e-3 + 1e-9  # peak at warmup end, decaying after
+    assert lrs[1] > lrs[0]
+    assert abs(lrs[3] - 1e-3 / cfg.onecycle_final_div_factor) < 1e-6  # end value
+    import numpy as np
+    assert all(np.isfinite(v) for v in lrs)
