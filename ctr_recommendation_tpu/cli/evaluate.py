@@ -90,6 +90,17 @@ def main(argv=None) -> int:
             file=sys.stderr,
         )
         return 2
+    if args.gauc_col and args.gauc_col not in data.columns:
+        # validate BEFORE the scoring loop — a typo'd column should not cost
+        # a full batch of device scoring first
+        import sys
+
+        print(
+            f"--gauc-col {args.gauc_col!r} is not a column of {split_path} "
+            f"(have: {sorted(data.columns)})",
+            file=sys.stderr,
+        )
+        return 2
     store = ItemStore.from_parquet(
         exp.dataset.item_info,
         id_col=exp.dataset.item_info_key,
@@ -110,15 +121,6 @@ def main(argv=None) -> int:
         probs_all.append(probs[w > 0])
         labels_all.append(np.asarray(batch[fm.label])[w > 0])
         if args.gauc_col:
-            if args.gauc_col not in batch:
-                import sys
-
-                print(
-                    f"--gauc-col {args.gauc_col!r} is not a batch column "
-                    f"(have: {sorted(k for k in batch if k != '__weight__')})",
-                    file=sys.stderr,
-                )
-                return 2
             groups_all.append(np.asarray(batch[args.gauc_col])[w > 0])
     probs = jnp.asarray(np.concatenate(probs_all))
     labels = jnp.asarray(np.concatenate(labels_all))

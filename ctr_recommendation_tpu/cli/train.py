@@ -39,8 +39,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--embedding-dim", type=int, default=None)
     p.add_argument("--embedding-init-std", type=float, default=None,
-                   help="embedding table init N(0, std); 1.0 = torch parity, "
-                        "0.01 for raw-product-logit models (e.g. deepfm)")
+                   help="embedding table init N(0, std); default resolves "
+                        "per family (1.0 torch parity; deepfm 0.01 — its raw "
+                        "FM product logits saturate BCE at std 1.0)")
     p.add_argument("--learning-rate", type=float, default=None)
     p.add_argument("--optimizer", default=None)
     p.add_argument("--table-optimizer", default=None,
@@ -131,6 +132,19 @@ def main(argv=None) -> int:
         )
     if args.model_parallel > 1:
         exp = exp.replace(mesh=MeshConfig(model_parallel=args.model_parallel))
+
+    if exp.train.table_optimizer == "rowwise_adagrad" and args.learning_rate is None:
+        # measured on the full-scale MicroLens run: rowwise_adagrad at the
+        # default OneCycle(lr 1e-3) plateaus ~0.08 AUC below dense/lazy-adam
+        # (docs/PERFORMANCE.md table-optimizer convergence table) — the
+        # adagrad accumulator shrinks the effective step; it needs its own lr
+        print(
+            "[warn] --table-optimizer rowwise_adagrad with the default lr "
+            "schedule measured ~-0.08 AUC vs dense/adam on the full-scale "
+            "run (docs/PERFORMANCE.md); tune --learning-rate for it, or use "
+            "--table-optimizer adam (lazy sparse; matches dense exactly)",
+            file=sys.stderr,
+        )
 
     return run_training(
         exp, resume=args.resume, strict_items=args.strict_items, stream=args.stream,

@@ -134,13 +134,15 @@ class ModelConfig:
 
     model: str = "mm_fibinet"
     embedding_dim: int = 128
-    # Embedding-table init scale: N(0, std). 1.0 is torch nn.Embedding
+    # Embedding-table init scale: N(0, std). None (the default) resolves
+    # per model family via ``resolved_init_std``: 1.0 — torch nn.Embedding
     # parity (the reference's init, convergence-critical for reproducing its
-    # logged run — SURVEY §7(c)). Models whose logits are raw products of
-    # field embeddings (deepfm's FM term) saturate BCE at std 1.0 with
-    # E=128; 0.01 is the usual CTR-framework choice for those (measured in
-    # docs/PERFORMANCE.md).
-    embedding_init_std: float = 1.0
+    # logged run — SURVEY §7(c)) — for every family except those whose
+    # logits are raw products of field embeddings (deepfm's FM term), which
+    # saturate BCE at std 1.0 with E=128 (measured AUC 0.650 vs 0.7733,
+    # docs/PERFORMANCE.md) and get the usual CTR-framework 0.01. Set
+    # explicitly to override.
+    embedding_init_std: float | None = None
     # FiBiNET (model_fibinet.py:114,118; reference hardcodes "all"/r=2 —
     # code wins over its YAML per SURVEY §5.6).
     bilinear_type: str = "all"  # "all" | "each"
@@ -179,6 +181,19 @@ class ModelConfig:
     # PERFORMANCE.md round-2 table; fp32 vs bf16 AUC within 0.007, bf16
     # slightly ahead, losses within 0.003).
     tower_dtype: str = "compute"
+
+    def resolved_init_std(self) -> float:
+        """Per-family embedding init std when not set explicitly."""
+        if self.embedding_init_std is not None:
+            return self.embedding_init_std
+        return _FAMILY_INIT_STD.get(self.model, 1.0)
+
+
+# Families whose logit is a raw product of N(0, std) field embeddings —
+# torch-parity std 1.0 saturates BCE at E=128 (|FM logit| ~ sqrt(E*F^2/2));
+# 0.01 measured AUC 0.650 -> 0.7733 on the synthetic zoo run
+# (docs/PERFORMANCE.md model-zoo table).
+_FAMILY_INIT_STD: dict[str, float] = {"deepfm": 0.01}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -276,8 +291,10 @@ def model_config_from_dict(d: Mapping[str, Any]) -> ModelConfig:
     return ModelConfig(
         model=str(d.get("model", base.model)).lower(),
         embedding_dim=int(d.get("embedding_dim", base.embedding_dim)),
-        embedding_init_std=float(
-            d.get("embedding_init_std", base.embedding_init_std)
+        embedding_init_std=(
+            None
+            if d.get("embedding_init_std", base.embedding_init_std) is None
+            else float(d["embedding_init_std"])
         ),
         bilinear_type=str(d.get("bilinear_type", base.bilinear_type)),
         senet_reduction=int(d.get("senet_reduction", base.senet_reduction)),

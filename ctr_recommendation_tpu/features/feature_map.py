@@ -104,6 +104,18 @@ def build_feature_map(dataset: DatasetConfig) -> FeatureMap:
                     "zero/freeze only one pad row"
                 )
             pad_id = next(iter(seq_pads)) if seq_pads else None
+            if owner.hash_buckets is not None and pad_id not in (None, 0):
+                # FeatureSpec.__post_init__ can only check a SEQUENCE that
+                # hashes itself; a sequence share_embedding-ing a hashed
+                # categorical owner resolves its pad here — enforce at the
+                # final TableSpec so hashed ids (which land in [1, buckets))
+                # can never collide with a nonzero zeroed/masked pad row.
+                raise ValueError(
+                    f"table {owner.name!r} is hashed but sequence users "
+                    f"declare pad_id {pad_id}: hashed ids land in "
+                    "[1, buckets), so only row 0 can be the pad row "
+                    "(a nonzero pad would silently mask real hashed ids)"
+                )
             tables.append(
                 TableSpec(
                     name=owner.name,

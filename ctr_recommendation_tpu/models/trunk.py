@@ -47,7 +47,7 @@ def init(key: jax.Array, fm: FeatureMap, cfg: ModelConfig, *, seq_pooling: str =
         # divides the table evenly (padded rows are never addressed).
         params["tables"][t.name] = embedding_init(
             next(key_iter), round_up_vocab(t.vocab_size), e, pad_id=t.pad_id,
-            std=cfg.embedding_init_std,
+            std=cfg.resolved_init_std(),
         )
     for f in fm.features_of_type(FeatureType.DENSE_EMBEDDING):
         params["dense"][f.name] = {

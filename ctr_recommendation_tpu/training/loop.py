@@ -740,6 +740,10 @@ class Trainer:
             if (epoch + 1) % tc.checkpoint_every == 0 or epoch + 1 == tc.epochs:
                 self.ckpt.save(epoch + 1, self.state)
                 entry["checkpoint_seconds"] = time.time() - t_save
+            else:
+                # keep every history row's schema identical — DictWriter
+                # would otherwise emit blank cells on skipped epochs
+                entry["checkpoint_seconds"] = 0.0
             self.log(
                 f"[epoch {epoch + 1}] loss {train_loss:.4f} "
                 + " ".join(

@@ -214,6 +214,123 @@ def test_seed_history_reloads_pre_resume_epochs(tmp_path):
     assert ns.history[1]["auc"] == 0.8
 
 
+# ------------------------------------------- round-3 advisor findings
+def test_hashed_table_rejects_nonzero_pad_via_share_embedding():
+    """A sequence with share_embedding -> hashed categorical owner and a
+    nonzero pad_id must be rejected at build_feature_map (hashed ids land in
+    [1, buckets); a nonzero pad row would silently mask real ids)."""
+    import pytest
+
+    from ctr_recommendation_tpu.config.schema import (
+        DatasetConfig,
+        FeatureSpec,
+        FeatureType,
+    )
+    from ctr_recommendation_tpu.features import build_feature_map
+
+    feats = (
+        FeatureSpec(name="item_id", type=FeatureType.CATEGORICAL, hash_buckets=64),
+        FeatureSpec(
+            name="item_seq", type=FeatureType.SEQUENCE, share_embedding="item_id",
+            max_len=4, pad_id=63,
+        ),
+    )
+    ds = DatasetConfig(dataset_id="x", features=feats, label="label")
+    with pytest.raises(ValueError, match="hashed"):
+        build_feature_map(ds)
+    # pad_id 0 through the same shared-table route stays valid
+    feats_ok = (
+        FeatureSpec(name="item_id", type=FeatureType.CATEGORICAL, hash_buckets=64),
+        FeatureSpec(
+            name="item_seq", type=FeatureType.SEQUENCE, share_embedding="item_id",
+            max_len=4, pad_id=0,
+        ),
+    )
+    fm = build_feature_map(
+        DatasetConfig(dataset_id="x", features=feats_ok, label="label")
+    )
+    assert fm.table("item_id").hashed
+
+
+def test_per_family_init_std_default():
+    """embedding_init_std=None resolves per family: deepfm 0.01 (raw FM
+    product logits), everything else torch-parity 1.0; explicit values win."""
+    import dataclasses
+
+    from ctr_recommendation_tpu.config.schema import ModelConfig
+
+    assert ModelConfig(model="deepfm").resolved_init_std() == 0.01
+    assert ModelConfig(model="mm_fibinet").resolved_init_std() == 1.0
+    assert ModelConfig(model="xdeepfm").resolved_init_std() == 1.0
+    explicit = ModelConfig(model="deepfm", embedding_init_std=0.5)
+    assert explicit.resolved_init_std() == 0.5
+    # serialize round-trip preserves the None default
+    from ctr_recommendation_tpu.config.schema import model_config_from_dict
+
+    assert model_config_from_dict({"model": "deepfm"}).embedding_init_std is None
+    assert (
+        model_config_from_dict({"embedding_init_std": 0.25}).embedding_init_std
+        == 0.25
+    )
+
+
+def test_deepfm_default_init_trains_sane(tiny_experiment, tiny_batch):
+    """With the per-family default (no explicit std), deepfm's initial logits
+    must be in a trainable range rather than BCE-saturated."""
+    import dataclasses
+
+    import jax
+
+    from ctr_recommendation_tpu.features import build_feature_map
+    from ctr_recommendation_tpu.models import build_model
+
+    cfg = dataclasses.replace(tiny_experiment.model, model="deepfm")
+    fm = build_feature_map(tiny_experiment.dataset)
+    module, params, state = build_model(fm, cfg, jax.random.key(0))
+    logits, _ = module.apply(
+        params, state, fm, cfg, tiny_batch, train=False,
+        compute_dtype=jnp.float32,
+    )
+    assert float(jnp.max(jnp.abs(logits))) < 30.0
+
+
+def test_fit_on_device_history_schema_consistent(tmp_path, tiny_experiment):
+    """checkpoint_every > 1 must still give every metrics row the same keys
+    (checkpoint_seconds recorded as 0.0 on skipped epochs)."""
+    import dataclasses
+
+    from ctr_recommendation_tpu.data.synthetic import write_synthetic_dataset
+    from ctr_recommendation_tpu.data import ItemStore, load_split
+    from ctr_recommendation_tpu.features import build_feature_map
+    from ctr_recommendation_tpu.training import Trainer
+
+    root = str(tmp_path)
+    paths = write_synthetic_dataset(
+        root, num_rows=256, num_items=50, max_len=8, mm_dim=24, seed=3
+    )
+    exp = tiny_experiment.replace(
+        train=dataclasses.replace(
+            tiny_experiment.train,
+            epochs=3,
+            checkpoint_every=2,
+            batch_size=64,
+            checkpoint_dir=os.path.join(root, "ck"),
+        )
+    )
+    fm = build_feature_map(exp.dataset)
+    train = load_split(paths["train"], fm)
+    store = ItemStore.from_parquet(paths["item_info"])
+    trainer = Trainer(
+        exp, steps_per_epoch=4, item_store=store, log_fn=lambda s: None
+    )
+    hist = trainer.fit_on_device(train)
+    assert len(hist) == 3
+    keysets = [set(h.keys()) for h in hist]
+    assert all(ks == keysets[0] for ks in keysets)
+    assert hist[0]["checkpoint_seconds"] == 0.0  # epoch 1 skipped
+    assert hist[1]["checkpoint_seconds"] > 0.0  # epoch 2 saved
+
+
 # -------------------------------------------------- experiment.json provenance
 def test_experiment_json_not_clobbered_by_readonly_trainer(
     tmp_path, tiny_experiment
