@@ -15,6 +15,19 @@ so the comparison isolates model + optimizer + loss semantics.
 
 Run standalone: ``python benchmarks/convergence_parity.py`` prints the
 per-epoch table (docs/PARITY.md records a committed run).
+
+Full-shape mode (VERDICT r2 item 1 — the reference's REAL regime:
+E=128, 6 fields, bs 4096, OneCycle max_lr 1e-2 / pct_start 0.3, clip 10,
+BatchNorm at the 2688-wide concat, run well past the OneCycle peak):
+
+    python benchmarks/convergence_parity.py \
+        --embedding-dim 128 --batch-size 4096 --epochs 40 \
+        --rows 200000 --items 20000 --max-len 20 --out parity_full.json
+
+The torch side is the reference's own imported model at its hardcoded
+91718-vocab (model_fibinet.py:100) — synthetic ids stay far below it; the
+iid N(0,1) rows actually touched are statistically identical to the JAX
+side's right-sized table.
 """
 
 from __future__ import annotations
@@ -23,6 +36,12 @@ import os
 import sys
 
 import numpy as np
+
+# standalone `python benchmarks/convergence_parity.py` runs: the package
+# lives at the repo root, one directory up
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 REFERENCE_SRC = "/root/reference/src"
 
@@ -63,6 +82,7 @@ def run_torch_reference(
     lr: float = 1e-3,
     weight_decay: float = 1e-5,
     seed: int = 2025,
+    progress: bool = False,
 ) -> list[dict[str, float]]:
     """The reference training loop (train_fibinet.py:74-152) around the
     reference's own imported model, on our synthetic splits. CPU torch."""
@@ -131,6 +151,12 @@ def run_torch_reference(
         history.append(
             {"epoch": epoch + 1, "train_loss": total_loss / max(steps, 1), "auc": float(auc)}
         )
+        if progress:
+            print(
+                f"[torch] epoch {epoch + 1}/{epochs} loss "
+                f"{history[-1]['train_loss']:.4f} auc {auc:.4f}",
+                flush=True,
+            )
     return history
 
 
@@ -201,12 +227,41 @@ def build_setup(root: str, *, embedding_dim=16, batch_size=256, epochs=4,
 
 
 def main():
+    import argparse
     import json
     import tempfile
+    import time
+
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--embedding-dim", type=int, default=16)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--epochs", type=int, default=4)
+    p.add_argument("--rows", type=int, default=12000)
+    p.add_argument("--items", type=int, default=1500)
+    p.add_argument("--max-len", type=int, default=8)
+    p.add_argument("--seed", type=int, default=11)
+    p.add_argument("--out", default=None, help="write the full result JSON here")
+    args = p.parse_args()
 
     with tempfile.TemporaryDirectory() as root:
-        exp, fm, train, valid, store = build_setup(root)
+        exp, fm, train, valid, store = build_setup(
+            root, embedding_dim=args.embedding_dim, batch_size=args.batch_size,
+            epochs=args.epochs, num_rows=args.rows, num_items=args.items,
+            max_len=args.max_len, seed=args.seed,
+        )
+        spe = train.num_rows // args.batch_size
+        print(
+            f"[setup] train {train.num_rows} rows, valid {valid.num_rows}, "
+            f"E={args.embedding_dim}, bs {args.batch_size}, {spe} steps/epoch, "
+            f"{args.epochs} epochs (OneCycle peak ~step "
+            f"{int(0.3 * spe * args.epochs)} of {spe * args.epochs})",
+            flush=True,
+        )
+        t0 = time.time()
         jx = run_jax_trainer(exp, fm, train, valid, store)
+        t_jax = time.time() - t0
+        print(f"[jax] done in {t_jax:.1f}s", flush=True)
+        t0 = time.time()
         th = run_torch_reference(
             fm, train, valid, store,
             embedding_dim=exp.model.embedding_dim,
@@ -215,17 +270,43 @@ def main():
             lr=exp.train.learning_rate,
             weight_decay=exp.train.weight_decay,
             seed=exp.train.seed,
+            progress=True,
         )
-    print(f"{'epoch':>5} | {'torch loss':>10} {'torch AUC':>9} | {'jax loss':>10} {'jax AUC':>9}")
+        t_torch = time.time() - t0
+        print(f"[torch] done in {t_torch:.1f}s", flush=True)
+    print(f"{'epoch':>5} | {'torch loss':>10} {'torch AUC':>9} | {'jax loss':>10} {'jax AUC':>9} | {'dloss':>7} {'dAUC':>7}")
     for t, j in zip(th, jx):
         print(
             f"{t['epoch']:>5} | {t['train_loss']:>10.4f} {t['auc']:>9.4f} "
-            f"| {j['train_loss']:>10.4f} {j['auc']:>9.4f}"
+            f"| {j['train_loss']:>10.4f} {j['auc']:>9.4f} "
+            f"| {abs(t['train_loss'] - j['train_loss']):>7.4f} "
+            f"{abs(t['auc'] - j['auc']):>7.4f}"
         )
-    print(json.dumps({
+    t_best = int(np.argmax([t["auc"] for t in th])) + 1
+    j_best = int(np.argmax([j["auc"] for j in jx])) + 1
+    result = {
+        "shape": {
+            "embedding_dim": args.embedding_dim, "batch_size": args.batch_size,
+            "epochs": args.epochs, "train_rows": args.rows, "items": args.items,
+            "max_len": args.max_len, "seed": args.seed,
+        },
+        "torch_loss": [t["train_loss"] for t in th],
+        "jax_loss": [j["train_loss"] for j in jx],
         "torch_auc": [t["auc"] for t in th],
         "jax_auc": [j["auc"] for j in jx],
-    }))
+        "max_loss_gap": float(
+            max(abs(t["train_loss"] - j["train_loss"]) for t, j in zip(th, jx))
+        ),
+        "max_auc_gap": float(max(abs(t["auc"] - j["auc"]) for t, j in zip(th, jx))),
+        "torch_best_epoch": t_best,
+        "jax_best_epoch": j_best,
+        "torch_seconds": round(t_torch, 1),
+        "jax_seconds": round(t_jax, 1),
+    }
+    print(json.dumps(result))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=2)
 
 
 if __name__ == "__main__":

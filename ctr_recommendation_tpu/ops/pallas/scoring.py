@@ -86,6 +86,113 @@ def _kernel(
     out_ref[:] = jax.nn.sigmoid(logit)
 
 
+def _score_forward(
+    x, sw1, sb1, sw2, sb2, wbi, w1, b1, w2, b2, w3, b3,
+    *, bilinear_type, block_b, compute_dtype,
+):
+    """Flat-array driver over the (local) batch: pad, reshape 2-D, run the
+    grid. Used both unpartitioned and as the per-shard lowering of the
+    custom_partitioning wrapper (see interaction.py's note: pallas_call has
+    no SPMD rule of its own)."""
+    b, f, e = x.shape
+    num_pairs = f * (f - 1) // 2
+    cdim = (f + num_pairs) * e
+
+    block_b = min(block_b, max(8, 1 << (b - 1).bit_length()))
+    pad_b = (-b) % block_b
+    if pad_b:
+        x = jnp.pad(x, ((0, pad_b), (0, 0), (0, 0)))
+    padded_b = b + pad_b
+    # 2-D (B, F*E) kernel input: row-major bitcast (free), and the tiny F
+    # dim never hits the sublane tile (F=6 would pad to 8 fp32 / 16 bf16
+    # sublanes as a 3-D block — measured 27% slower fp32, 70% slower bf16)
+    x = x.reshape(padded_b, f * e)
+    h1_dim, h2_dim = w1.shape[1], w2.shape[1]
+
+    def const_spec(shape):
+        return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, num_fields=f, bilinear_type=bilinear_type),
+        out_shape=jax.ShapeDtypeStruct((padded_b, 1), jnp.float32),
+        grid=(padded_b // block_b,),
+        in_specs=[
+            pl.BlockSpec((block_b, f * e), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            const_spec(sw1.shape),
+            const_spec(sb1.shape),
+            const_spec(sw2.shape),
+            const_spec(sb2.shape),
+            const_spec(wbi.shape),
+            const_spec(w1.shape),
+            const_spec(b1.shape),
+            const_spec(w2.shape),
+            const_spec(b2.shape),
+            const_spec(w3.shape),
+            const_spec(b3.shape),
+        ],
+        out_specs=pl.BlockSpec((block_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((block_b, cdim), jnp.dtype(compute_dtype))],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * padded_b * (f * e * e + cdim * h1_dim + h1_dim * h2_dim + h2_dim),
+            bytes_accessed=4 * (padded_b * f * e + cdim * h1_dim + padded_b),
+            transcendentals=2 * padded_b,
+        ),
+        interpret=_interpret(),
+    )(
+        x.astype(compute_dtype),
+        sw1.astype(jnp.float32), sb1.astype(jnp.float32),
+        sw2.astype(jnp.float32), sb2.astype(jnp.float32),
+        wbi.astype(compute_dtype),
+        w1.astype(compute_dtype), b1.astype(jnp.float32),
+        w2.astype(compute_dtype), b2.astype(jnp.float32),
+        w3.astype(compute_dtype), b3.astype(jnp.float32),
+    )
+    return out[:b, 0]
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_score(bilinear_type: str, block_b: int, compute_dtype_name: str):
+    """Batch-shard x, replicate every weight, run the kernel per shard."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    run = functools.partial(
+        _score_forward,
+        bilinear_type=bilinear_type,
+        block_b=block_b,
+        compute_dtype=jnp.dtype(compute_dtype_name),
+    )
+
+    @custom_partitioning
+    def fused(*args):
+        return run(*args)
+
+    def _batch_axis(arg_shapes):
+        spec = arg_shapes[0].sharding.spec
+        return spec[0] if len(spec) else None
+
+    def partition(mesh, arg_shapes, result_shape):
+        b_axis = _batch_axis(arg_shapes)
+        x_sh = NamedSharding(mesh, P(b_axis, None, None))
+        repl = NamedSharding(mesh, P())
+        out_sh = NamedSharding(mesh, P(b_axis))
+        return mesh, run, out_sh, (x_sh,) + (repl,) * 11
+
+    def infer_sharding(mesh, arg_shapes, result_shape):
+        return NamedSharding(mesh, P(_batch_axis(arg_shapes)))
+
+    wbi_rule = "g eA eB" if bilinear_type == "each" else "eA eB"
+    fused.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer_sharding,
+        sharding_rule=(
+            f"b f e, fA r, rA, rW fB, fC, {wbi_rule}, "
+            "c h1, h1A, h1B h2, h2A, h2B u, uA -> b"
+        ),
+    )
+    return fused
+
+
 def fused_score(
     senet_params: dict,
     bilinear_params: dict,
@@ -104,20 +211,7 @@ def fused_score(
     the training tower."""
     if len(folded_mlp["layers"]) != 2:
         raise ValueError("fused_score expects a 2-hidden-layer tower")
-    b, f, e = x.shape
-    num_pairs = f * (f - 1) // 2
-    cdim = (f + num_pairs) * e
-
-    block_b = min(block_b, max(8, 1 << (b - 1).bit_length()))
-    pad_b = (-b) % block_b
-    if pad_b:
-        x = jnp.pad(x, ((0, pad_b), (0, 0), (0, 0)))
-    padded_b = b + pad_b
-    # 2-D (B, F*E) kernel input: row-major bitcast (free), and the tiny F
-    # dim never hits the sublane tile (F=6 would pad to 8 fp32 / 16 bf16
-    # sublanes as a 3-D block — measured 27% slower fp32, 70% slower bf16)
-    x = x.reshape(padded_b, f * e)
-
+    f = x.shape[1]
     fc1, fc2 = senet_params["fc1"], senet_params["fc2"]
     reduced = fc1["w"].shape[1]
     sb1 = fc1.get("b", jnp.zeros((reduced,)))
@@ -126,44 +220,7 @@ def fused_score(
     l1 = folded_mlp["layers"][0]["linear"]
     l2 = folded_mlp["layers"][1]["linear"]
     l3 = folded_mlp["out"]
-    h1_dim, h2_dim = l1["w"].shape[1], l2["w"].shape[1]
-
-    def const_spec(shape):
-        return pl.BlockSpec(shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
-
-    out = pl.pallas_call(
-        functools.partial(_kernel, num_fields=f, bilinear_type=bilinear_type),
-        out_shape=jax.ShapeDtypeStruct((padded_b, 1), jnp.float32),
-        grid=(padded_b // block_b,),
-        in_specs=[
-            pl.BlockSpec((block_b, f * e), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            const_spec(fc1["w"].shape),
-            const_spec(sb1.shape),
-            const_spec(fc2["w"].shape),
-            const_spec(sb2.shape),
-            const_spec(wbi.shape),
-            const_spec(l1["w"].shape),
-            const_spec(l1["b"].shape),
-            const_spec(l2["w"].shape),
-            const_spec(l2["b"].shape),
-            const_spec(l3["w"].shape),
-            const_spec(l3["b"].shape),
-        ],
-        out_specs=pl.BlockSpec((block_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((block_b, cdim), jnp.dtype(compute_dtype))],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * padded_b * (f * e * e + cdim * h1_dim + h1_dim * h2_dim + h2_dim),
-            bytes_accessed=4 * (padded_b * f * e + cdim * h1_dim + padded_b),
-            transcendentals=2 * padded_b,
-        ),
-        interpret=_interpret(),
-    )(
-        x.astype(compute_dtype),
-        fc1["w"].astype(jnp.float32), sb1.astype(jnp.float32),
-        fc2["w"].astype(jnp.float32), sb2.astype(jnp.float32),
-        wbi.astype(compute_dtype),
-        l1["w"].astype(compute_dtype), l1["b"].astype(jnp.float32),
-        l2["w"].astype(compute_dtype), l2["b"].astype(jnp.float32),
-        l3["w"].astype(compute_dtype), l3["b"].astype(jnp.float32),
+    return _partitioned_score(bilinear_type, block_b, jnp.dtype(compute_dtype).name)(
+        x, fc1["w"], sb1, fc2["w"], sb2, wbi,
+        l1["w"], l1["b"], l2["w"], l2["b"], l3["w"], l3["b"],
     )
-    return out[:b, 0]

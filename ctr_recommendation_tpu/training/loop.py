@@ -57,16 +57,9 @@ class Trainer:
         self.fm = build_feature_map(experiment.dataset)
         self.module = get_model(experiment.model.model)
         self.mesh = mesh if mesh is not None else make_mesh(experiment.mesh)
-        if experiment.model.use_pallas and len(self.mesh.devices.flat) > 1:
-            # the Pallas interaction kernel (no-grad eval path) has no GSPMD
-            # partitioning rule; over a multi-device mesh the jitted eval
-            # step must take the XLA-fused jnp path instead
-            import dataclasses as _dc
-
-            experiment = experiment.replace(
-                model=_dc.replace(experiment.model, use_pallas=False)
-            )
-            self.exp = experiment
+        # use_pallas survives multi-device meshes: the kernels carry a
+        # custom_partitioning rule (batch-sharded x, replicated weights) so
+        # GSPMD partitions them like any other op (ops/pallas/interaction.py)
         self.lookup = lookup
         self.log = log_fn
         self._compute_dtype = jnp.dtype(experiment.train.compute_dtype)
