@@ -62,6 +62,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--stream", action="store_true",
                    help="stream the train split from parquet row groups instead of "
                         "loading it into RAM/HBM (for splits larger than memory)")
+    p.add_argument("--steps-per-dispatch", type=int, default=None,
+                   help="host-driven paths (--stream/--strict-items/multi-host) "
+                        "group this many batches per device dispatch (one jitted "
+                        "K-step scan); 1 = dispatch per batch")
     return p
 
 
@@ -78,7 +82,7 @@ def main(argv=None) -> int:
     overrides = {}
     for k in ("epochs", "batch_size", "embedding_dim", "embedding_init_std",
               "learning_rate", "optimizer", "table_optimizer", "checkpoint_dir",
-              "checkpoint_every"):
+              "checkpoint_every", "steps_per_dispatch"):
         v = getattr(args, k)
         if v is not None:
             overrides[k] = v

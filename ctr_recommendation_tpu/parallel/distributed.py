@@ -52,18 +52,26 @@ def host_count() -> int:
 
 
 def host_local_to_global(
-    batch: dict[str, np.ndarray], mesh: Mesh, data_axis: str = "data"
+    batch: dict[str, np.ndarray], mesh: Mesh, data_axis: str = "data",
+    batch_dim: int = 0,
 ) -> dict[str, jax.Array]:
     """Per-host numpy batch (local rows) -> global arrays sharded P(data).
 
     Single-process: plain device_put. Multi-process: each host contributes
     its local rows; the logical global batch is the concatenation over hosts
     (jax.make_array_from_process_local_data handles placement).
+
+    ``batch_dim`` names the row axis: 0 for plain batches, 1 for K-stacked
+    dispatch chunks of shape (K, rows, ...) — the scan axis K stays
+    unsharded, rows shard over ``data_axis``.
     """
-    sharding_of = {
-        k: NamedSharding(mesh, P(data_axis, *([None] * (v.ndim - 1))))
-        for k, v in batch.items()
-    }
+
+    def _spec(v):
+        spec = [None] * v.ndim
+        spec[batch_dim] = data_axis
+        return P(*spec)
+
+    sharding_of = {k: NamedSharding(mesh, _spec(v)) for k, v in batch.items()}
     if jax.process_count() == 1:
         return {k: jax.device_put(v, sharding_of[k]) for k, v in batch.items()}
     return {

@@ -140,14 +140,30 @@ class HashTextEncoder:
 
 
 class ViltEncoder:
-    """The reference's ViLT CLS encoder (task-1.ipynb cell 4). Requires
-    transformers weights available locally; raises ImportError otherwise."""
+    """The reference's ViLT CLS encoder (task-1.ipynb cell 4).
 
-    def __init__(self, model_name: str = "dandelin/vilt-b32-mlm", batch_size: int = 16):
-        from transformers import ViltModel, ViltProcessor  # noqa: deferred
+    By default loads pretrained ``dandelin/vilt-b32-mlm`` weights (requires
+    them locally — this build environment has no egress). ``processor`` /
+    ``model`` may be injected instead (e.g. a random-init
+    ``ViltModel(ViltConfig(...))``), which executes the identical
+    processor->model->CLS->normalize code path without weights — this is how
+    the offline test suite covers the real transformers branch."""
 
-        self.processor = ViltProcessor.from_pretrained(model_name)
-        self.model = ViltModel.from_pretrained(model_name).eval()
+    def __init__(
+        self,
+        model_name: str = "dandelin/vilt-b32-mlm",
+        batch_size: int = 16,
+        *,
+        processor=None,
+        model=None,
+    ):
+        if processor is None or model is None:
+            from transformers import ViltModel, ViltProcessor  # noqa: deferred
+
+            processor = processor or ViltProcessor.from_pretrained(model_name)
+            model = model or ViltModel.from_pretrained(model_name)
+        self.processor = processor
+        self.model = model.eval()
         self.batch_size = batch_size
         self.dim = self.model.config.hidden_size
 

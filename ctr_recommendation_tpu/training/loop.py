@@ -208,6 +208,7 @@ class Trainer:
         self.state = _init_state(params, model_state)
 
         self._train_step_fn = self._build_train_step()
+        self._train_chunk_fn = self._build_train_chunk()
         self._eval_step_fn = self._build_eval_step()
         self.history: list[dict[str, float]] = []
         self._epoch = 0
@@ -427,6 +428,66 @@ class Trainer:
 
         return train_epoch
 
+    def _build_train_chunk(self):
+        """K batches as ONE device program: a jitted lax.scan over a stacked
+        (K, bs, ...) chunk. This is what closes the per-dispatch overhead gap
+        on the host-driven paths (--stream / strict-items / multi-host):
+        the round-2 measurement had the streaming path at 313K ex/s vs 1.36M
+        on the epoch scan, entirely per-step dispatch-bound. jit retraces per
+        distinct K (the tail chunk of an epoch compiles once)."""
+        da = self.exp.mesh.data_axis
+        dp = self.mesh.shape[da]
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def train_chunk(state: TrainState, stacked: dict, mm_tables: dict,
+                        rng: jax.Array):
+            def body(st, batch):
+                if dp > 1:
+                    batch = {
+                        k: jax.lax.with_sharding_constraint(
+                            v,
+                            NamedSharding(
+                                self.mesh, P(da, *([None] * (v.ndim - 1)))
+                            ),
+                        )
+                        for k, v in batch.items()
+                    }
+                st, metrics = self._step_impl(st, batch, mm_tables, rng)
+                return st, metrics["loss"]
+
+            return jax.lax.scan(body, state, stacked)
+
+        return train_chunk
+
+    def put_chunk(self, buf: list[dict[str, np.ndarray]]) -> dict[str, jax.Array]:
+        """Stack K same-shape numpy batches -> (K, bs, ...) device arrays,
+        scan axis unsharded, rows sharded over the data axis."""
+        stacked = {k: np.stack([b[k] for b in buf]) for k in buf[0]}
+        from ctr_recommendation_tpu.parallel.distributed import host_local_to_global
+
+        return host_local_to_global(
+            stacked, self.mesh, self.exp.mesh.data_axis, batch_dim=1
+        )
+
+    @staticmethod
+    def _chunked(batches: Iterator[dict], k: int) -> Iterator[list[dict]]:
+        """Group consecutive same-structure batches into lists of up to k.
+        A batch whose keys or shapes differ from the open chunk flushes it
+        (stacking requires uniformity; iter_batches/stream_batches emit
+        fixed shapes so this only triggers on exotic custom iterators)."""
+        buf: list[dict] = []
+
+        def sig(b):
+            return tuple(sorted((key, v.shape, v.dtype) for key, v in b.items()))
+
+        for b in batches:
+            if buf and (len(buf) == k or sig(b) != sig(buf[0])):
+                yield buf
+                buf = []
+            buf.append(b)
+        if buf:
+            yield buf
+
     def _build_eval_step(self):
         module, fm, cfg = self.module, self.fm, self.exp.model
         compute_dtype, lookup = self._compute_dtype, self.lookup
@@ -545,19 +606,57 @@ class Trainer:
             # execution (measured ~10x slowdown vs the on-device epoch scan);
             # the only D2H reads are at log_every and epoch end.
             loss_sum = None
-            batches = prefetch(iter(train_batches(epoch)), transform=self.put_batch)
-            for batch in batches:
-                bsz = len(next(iter(batch.values())))
-                self.state, m = self._train_step(self.state, batch, rng)
-                n_steps += 1
-                rows += bsz
-                loss_sum = m["loss"] if loss_sum is None else loss_sum + m["loss"]
-                if n_steps % tc.log_every == 0:
-                    loss_v = float(m["loss"])
-                    lr = float(self.schedule(int(self.state.step) - 1))
-                    self.log(
-                        f"[epoch {epoch + 1}] step {n_steps} loss {loss_v:.4f} lr {lr:.6f}"
+            k = max(1, tc.steps_per_dispatch)
+            if k > 1:
+                # K batches per dispatch: stack host-side (in the prefetch
+                # thread, overlapping the upload with device compute), scan
+                # K optimizer steps as one program
+                def _upload(buf):
+                    stacked = self.put_chunk(buf)
+                    # GLOBAL batch rows (under multi-controller each host's
+                    # buf holds only its local shard of every batch)
+                    bsz = next(iter(stacked.values())).shape[1]
+                    return stacked, len(buf), bsz
+
+                chunks = prefetch(
+                    self._chunked(iter(train_batches(epoch)), k),
+                    transform=_upload,
+                )
+                for stacked, n_chunk, bsz in chunks:
+                    self.state, losses = self._train_chunk_fn(
+                        self.state, stacked, self._mm_tables, rng
                     )
+                    prev = n_steps
+                    n_steps += n_chunk
+                    rows += n_chunk * bsz
+                    s = jnp.sum(losses)
+                    loss_sum = s if loss_sum is None else loss_sum + s
+                    if n_steps // tc.log_every > prev // tc.log_every:
+                        loss_v = float(losses[-1])
+                        lr = float(self.schedule(int(self.state.step) - 1))
+                        self.log(
+                            f"[epoch {epoch + 1}] step {n_steps} loss "
+                            f"{loss_v:.4f} lr {lr:.6f}"
+                        )
+            else:
+                batches = prefetch(
+                    iter(train_batches(epoch)), transform=self.put_batch
+                )
+                for batch in batches:
+                    bsz = len(next(iter(batch.values())))
+                    self.state, m = self._train_step(self.state, batch, rng)
+                    n_steps += 1
+                    rows += bsz
+                    loss_sum = (
+                        m["loss"] if loss_sum is None else loss_sum + m["loss"]
+                    )
+                    if n_steps % tc.log_every == 0:
+                        loss_v = float(m["loss"])
+                        lr = float(self.schedule(int(self.state.step) - 1))
+                        self.log(
+                            f"[epoch {epoch + 1}] step {n_steps} loss "
+                            f"{loss_v:.4f} lr {lr:.6f}"
+                        )
             # one honest D2H value read closes the epoch (and the timer)
             train_loss = float(loss_sum) / n_steps if n_steps else 0.0
             dt = time.time() - t0

@@ -1,0 +1,90 @@
+"""Chunked dispatch (steps_per_dispatch=K) == per-batch dispatch, exactly.
+
+VERDICT r2 item 3: the host-driven ``fit`` paths (streaming / strict-items /
+multi-host) were per-step dispatch-bound; K batches now run as one jitted
+K-step scan. The math must be bit-identical in structure to the per-batch
+path: same batches, same per-step rng fold (by state.step), same optimizer
+sequence — so trajectories and final params must agree to float tolerance,
+including when the epoch's step count is not divisible by K (tail chunk).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from ctr_recommendation_tpu.data import ItemStore, iter_batches, load_split
+from ctr_recommendation_tpu.data.synthetic import write_synthetic_dataset
+from ctr_recommendation_tpu.features import build_feature_map
+from ctr_recommendation_tpu.training import Trainer
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory, tiny_experiment):
+    root = str(tmp_path_factory.mktemp("chunked"))
+    paths = write_synthetic_dataset(
+        root, num_rows=2000, num_items=100, max_len=8, mm_dim=24, seed=7
+    )
+    fm = build_feature_map(tiny_experiment.dataset)
+    train = load_split(paths["train"], fm)
+    valid = load_split(paths["valid"], fm)
+    store = ItemStore.from_parquet(paths["item_info"])
+    return root, fm, train, valid, store
+
+
+def _fit(tiny_experiment, setup, k, tag):
+    root, fm, train, valid, store = setup
+    bs = 128
+    exp = tiny_experiment.replace(
+        train=dataclasses.replace(
+            tiny_experiment.train,
+            batch_size=bs,
+            epochs=2,
+            steps_per_dispatch=k,
+            checkpoint_dir=f"{root}/ck_{tag}",
+        )
+    )
+    steps = train.num_rows // bs  # 11 steps -> tail chunk of 3 at k=4
+    trainer = Trainer(
+        exp, steps_per_epoch=steps, item_store=store, log_fn=lambda s: None
+    )
+
+    def train_batches(epoch):
+        return iter_batches(
+            train, fm, bs, shuffle=True, seed=exp.train.seed, epoch=epoch,
+            drop_last=True,
+        )
+
+    def valid_batches():
+        return iter_batches(valid, fm, bs)
+
+    hist = trainer.fit(train_batches, valid_batches)
+    return hist, trainer.state
+
+
+def test_chunked_fit_matches_per_batch(tiny_experiment, setup):
+    hist1, state1 = _fit(tiny_experiment, setup, 1, "k1")
+    hist4, state4 = _fit(tiny_experiment, setup, 4, "k4")
+
+    assert int(state1.step) == int(state4.step)
+    for h1, h4 in zip(hist1, hist4):
+        np.testing.assert_allclose(h1["train_loss"], h4["train_loss"],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(h1["auc"], h4["auc"], rtol=1e-5, atol=1e-5)
+    import jax
+
+    for a, b in zip(jax.tree.leaves(state1.params), jax.tree.leaves(state4.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_chunked_iterator_groups_and_flushes():
+    from ctr_recommendation_tpu.training.loop import Trainer
+
+    batches = [{"a": np.zeros((4,), np.float32)} for _ in range(7)]
+    chunks = list(Trainer._chunked(iter(batches), 3))
+    assert [len(c) for c in chunks] == [3, 3, 1]
+    # a shape change mid-stream flushes the open chunk
+    ragged = batches[:2] + [{"a": np.zeros((2,), np.float32)}] + batches[3:5]
+    chunks = list(Trainer._chunked(iter(ragged), 3))
+    assert [len(c) for c in chunks] == [2, 1, 2]

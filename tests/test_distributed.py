@@ -140,6 +140,63 @@ def test_two_process_trainer_step_matches_single_process(table_optimizer):
     assert got["table_norm"] == pytest.approx(want_norm, rel=1e-6)
 
 
+def test_two_process_mp_crosses_process_boundary():
+    """dp=2 x mp=2 over 2 processes x 2 devices each, mesh laid out so each
+    model-parallel pair spans BOTH processes — the shard_map all-to-all
+    embedding lookup exchanges ids/rows across the process boundary
+    (VERDICT r2 item 7; the 1-device-per-process tests above never do).
+    Loss and updated table must match the single-process step exactly."""
+    import jax
+    import numpy as np
+
+    from tests._distributed_trainer_worker import full_batch, tiny_experiment
+
+    port = _free_port()
+    coordinator = f"localhost:{port}"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    worker = os.path.join(REPO, "tests", "_distributed_mp_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coordinator, "2", str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            cwd=REPO, env=env, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker {p.args} failed:\n{out}"
+    got = json.loads([l for l in outs[0].splitlines() if l.startswith("{")][-1])
+
+    from jax.sharding import Mesh
+
+    from ctr_recommendation_tpu.training import Trainer
+
+    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1), ("data", "model"))
+    trainer = Trainer(
+        tiny_experiment("ref_mp", "dense"),
+        mesh=mesh, steps_per_epoch=1, log_fn=lambda s: None,
+    )
+    state, metrics = trainer._train_step(
+        trainer.state, trainer.put_batch(full_batch()), jax.random.key(0)
+    )
+    want_loss = float(metrics["loss"])
+    want_norm = float(
+        np.linalg.norm(np.asarray(state.params["trunk"]["tables"]["item_id"]).ravel())
+    )
+    assert got["loss"] == pytest.approx(want_loss, abs=1e-5)
+    assert got["table_norm"] == pytest.approx(want_norm, rel=1e-6)
+
+
 def test_two_process_streaming_cli_uneven_row_groups(tmp_path):
     """End-to-end run_training(stream=True) across 2 real processes where the
     train parquet's row groups divide unevenly between the hosts (600 vs 400
