@@ -66,3 +66,42 @@ def test_auc_trajectories_match(trajectories):
     assert np.max(np.abs(t_auc - j_auc)) < 0.06, (t_auc, j_auc)
     # both learn the planted signal well above chance
     assert t_auc.max() > 0.6 and j_auc.max() > 0.6
+
+
+class TestFullShapeScaled:
+    """Scaled-down in-suite version of the FULL-SHAPE study (docs/PARITY.md
+    round-3 section; committed artifact benchmarks/parity_full_r3.json):
+    the reference's real E=128 / 512-256 tower / OneCycle regime, shrunk in
+    rows/batch so torch-on-CPU finishes in suite time. Pins the
+    regime-dependent pieces the E=16 study above cannot: N(0,1) init at
+    E=128, BatchNorm at the 2688-wide concat, bs>=1024 statistics."""
+
+    @pytest.fixture(scope="class")
+    def full_shape(self, tmp_path_factory):
+        root = str(tmp_path_factory.mktemp("parity128"))
+        exp, fm, train, valid, store = build_setup(
+            root, embedding_dim=128, batch_size=1024, epochs=3,
+            num_rows=20000, num_items=2000, max_len=20, seed=11,
+        )
+        jx = run_jax_trainer(exp, fm, train, valid, store)
+        th = run_torch_reference(
+            fm, train, valid, store,
+            embedding_dim=128, batch_size=1024, epochs=3,
+            lr=exp.train.learning_rate, weight_decay=exp.train.weight_decay,
+            seed=exp.train.seed,
+        )
+        return th, jx
+
+    def test_losses(self, full_shape):
+        th, jx = full_shape
+        t = np.array([h["train_loss"] for h in th])
+        j = np.array([h["train_loss"] for h in jx])
+        np.testing.assert_allclose(j, t, atol=0.04)
+        assert j[-1] < j[0] and t[-1] < t[0]
+
+    def test_aucs(self, full_shape):
+        th, jx = full_shape
+        t = np.array([h["auc"] for h in th])
+        j = np.array([h["auc"] for h in jx])
+        assert np.max(np.abs(t - j)) < 0.05, (t, j)
+        assert t.max() > 0.6 and j.max() > 0.6
