@@ -19,6 +19,31 @@ import numpy as np
 
 BASELINE_INFER_ROWS_PER_SEC = 163_000.0
 
+# bf16 MXU peak per chip kind (TFLOP/s), for the MFU lines (VERDICT r2
+# item 8). Matmul-only accounting: embedding gathers/scatters are
+# bandwidth-bound and carry no MXU FLOPs.
+_PEAK_BF16_TFLOPS = {
+    "TPU v5 lite": 197.0,  # v5e
+    "TPU v5e": 197.0,
+    "TPU v5": 459.0,  # v5p
+    "TPU v5p": 459.0,
+    "TPU v4": 275.0,
+    "TPU v6 lite": 918.0,  # v6e / Trillium
+    "TPU v6e": 918.0,
+}
+
+
+def _flops_per_row_eval(f: int = 6, e: int = 128,
+                        hidden=(512, 256), mm_in: int = 128) -> float:
+    """Matmul FLOPs per scored example for the MM-FiBiNET serving forward:
+    mm projection + bilinear field projection + folded tower."""
+    cdim = (f + f * (f - 1) // 2) * e
+    macs = mm_in * e            # dense mm projection (128 -> E)
+    macs += f * e * e           # bilinear "all": (B*F, E) @ (E, E)
+    dims = [cdim, *hidden, 1]
+    macs += sum(a * b for a, b in zip(dims[:-1], dims[1:]))  # tower
+    return 2.0 * macs
+
 
 def main() -> None:
     import dataclasses
@@ -189,6 +214,25 @@ def main() -> None:
         times_s.append(time.perf_counter() - t0)
     train_rows_per_sec_sparse = n_rows / float(np.median(times_s))
 
+    # --- MFU (matmul-only FLOPs / measured device time / chip bf16 peak).
+    # Scoring: per-row eval matmuls over the measured device-only batch
+    # latency. Train: fwd + backward ~= 3x the eval matmuls per example
+    # (each matmul's backward is two same-size matmuls); the embedding
+    # scatter/gather traffic that actually bounds the step carries no MXU
+    # FLOPs, so these percentages are honest lower-is-expected numbers for
+    # a memory-bound CTR model, NOT a kernel-quality score.
+    chip = jax.devices()[0].device_kind
+    peak = _PEAK_BF16_TFLOPS.get(chip)
+    fr = _flops_per_row_eval()
+    mfu_scoring = (
+        fr * eval_bs / (device_scoring_ms * 1e-3) / (peak * 1e12)
+        if peak
+        else None
+    )
+    mfu_train = (
+        3.0 * fr * train_rows_per_sec / (peak * 1e12) if peak else None
+    )
+
     print(
         json.dumps(
             {
@@ -198,6 +242,7 @@ def main() -> None:
                 "vs_baseline": round(infer_rows_per_sec / BASELINE_INFER_ROWS_PER_SEC, 3),
                 "extra": {
                     "backend": jax.default_backend(),
+                    "chip": chip,
                     "scoring_batch_ms": round(p50_ms, 3),
                     "device_scoring_ms": round(device_scoring_ms, 3),
                     "train_examples_per_sec": round(train_rows_per_sec, 1),
@@ -206,6 +251,13 @@ def main() -> None:
                     ),
                     "eval_batch": eval_bs,
                     "train_batch": train_bs,
+                    "peak_bf16_tflops": peak,
+                    "mfu_scoring_pct": (
+                        round(100 * mfu_scoring, 2) if mfu_scoring else None
+                    ),
+                    "mfu_train_pct": (
+                        round(100 * mfu_train, 2) if mfu_train else None
+                    ),
                 },
             }
         )

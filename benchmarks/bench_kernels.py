@@ -77,6 +77,20 @@ def main() -> None:
         }
     )
 
+    # bf16 input — the dtype the trunk actually feeds the eval path
+    xh = x.astype(jnp.bfloat16)
+    t_jnp_h = timeit(jnp_fn, sp, bp, xh)
+    t_pls_h = timeit(pls_fn, sp, bp, xh)
+    results.append(
+        {
+            "bench": "senet_bilinear_concat_bf16",
+            "shape": f"({b},{f},{e})",
+            "xla_us": round(t_jnp_h * 1e6, 1),
+            "pallas_us": round(t_pls_h * 1e6, 1),
+            "speedup": round(t_jnp_h / t_pls_h, 3),
+        }
+    )
+
     # ---- fused scoring vs unfused (interaction + folded tower) ----
     cdim = (f + f * (f - 1) // 2) * e
     mp_params, mp_state = mlp.init(jax.random.key(5), cdim, [512, 256], batch_norm=True)

@@ -50,54 +50,71 @@ def _interpret() -> bool:
 
 
 def _kernel_all(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w_ref, out_ref, *, num_fields):
-    """bilinear_type="all" tile kernel. x_ref: (TB, F, E); out: (TB, (F+P)*E)."""
-    x = x_ref[:].astype(jnp.float32)  # (TB, F, E)
-    e = x.shape[-1]
-    # --- SENet ---
-    z = jnp.mean(x, axis=-1)  # (TB, F)
+    """bilinear_type="all" tile kernel. x_ref: (TB, F*E) — 2-D layout so the
+    tiny F dim never hits the sublane tile (the 3-D (TB, F, E) block padded
+    F=6 to 8 fp32 / 16 bf16 sublanes; measured in the scoring kernel:
+    27%/70% slower — same trick here, docs/PERFORMANCE.md round 2). Operand
+    dtype = x's dtype (bf16 at serving); accumulation fp32 via
+    preferred_element_type; SENet gate and sigmoid stay fp32."""
+    cd = x_ref.dtype
+    x = x_ref[:]  # (TB, F*E)
+    e = x.shape[1] // num_fields
+    xs = [x[:, fi * e : (fi + 1) * e] for fi in range(num_fields)]
+    # --- SENet (fp32) ---
+    z = jnp.stack(
+        [jnp.mean(xf.astype(jnp.float32), axis=-1) for xf in xs], axis=-1
+    )  # (TB, F)
     a = jnp.maximum(
         jnp.dot(z, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:], 0.0
     )
     w = jax.nn.sigmoid(
         jnp.dot(a, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
     )  # (TB, F)
-    s = x * w[..., None]  # (TB, F, E)
-    # --- bilinear projection: one MXU matmul over the flattened fields ---
-    tb = s.shape[0]
-    v = jnp.dot(
-        s.reshape(tb * num_fields, e), w_ref[:], preferred_element_type=jnp.float32
-    ).reshape(tb, num_fields, e)
+    s = [xs[fi] * w[:, fi : fi + 1].astype(cd) for fi in range(num_fields)]
+    # --- bilinear projection: per-field (TB, E) @ (E, E) MXU dots ---
+    v = [
+        jnp.dot(s[fi], w_ref[:], preferred_element_type=jnp.float32).astype(cd)
+        for fi in range(num_fields)
+    ]
     # --- concat [S.flat || pairs] via static per-field column writes ---
     for f in range(num_fields):
-        out_ref[:, f * e : (f + 1) * e] = s[:, f, :]
+        out_ref[:, f * e : (f + 1) * e] = s[f].astype(jnp.float32)
     i_idx, j_idx = pair_indices(num_fields)
     base = num_fields * e
     for k, (i, j) in enumerate(zip(i_idx, j_idx)):
-        out_ref[:, base + k * e : base + (k + 1) * e] = s[:, int(i), :] * v[:, int(j), :]
+        out_ref[:, base + k * e : base + (k + 1) * e] = (
+            s[int(i)] * v[int(j)]
+        ).astype(jnp.float32)
 
 
 def _kernel_each(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w_ref, out_ref, *, num_fields):
     """bilinear_type="each": w_ref is (F-1, E, E); v_i = s_i @ W_i."""
-    x = x_ref[:].astype(jnp.float32)
-    e = x.shape[-1]
-    z = jnp.mean(x, axis=-1)
+    cd = x_ref.dtype
+    x = x_ref[:]  # (TB, F*E)
+    e = x.shape[1] // num_fields
+    xs = [x[:, fi * e : (fi + 1) * e] for fi in range(num_fields)]
+    z = jnp.stack(
+        [jnp.mean(xf.astype(jnp.float32), axis=-1) for xf in xs], axis=-1
+    )
     a = jnp.maximum(
         jnp.dot(z, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:], 0.0
     )
     w = jax.nn.sigmoid(
         jnp.dot(a, w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
     )
-    s = x * w[..., None]
+    s = [xs[fi] * w[:, fi : fi + 1].astype(cd) for fi in range(num_fields)]
     for f in range(num_fields):
-        out_ref[:, f * e : (f + 1) * e] = s[:, f, :]
+        out_ref[:, f * e : (f + 1) * e] = s[f].astype(jnp.float32)
     v = [
-        jnp.dot(s[:, f, :], w_ref[f], preferred_element_type=jnp.float32)
+        jnp.dot(s[f], w_ref[f], preferred_element_type=jnp.float32).astype(cd)
         for f in range(num_fields - 1)
     ]
     i_idx, j_idx = pair_indices(num_fields)
     base = num_fields * e
     for k, (i, j) in enumerate(zip(i_idx, j_idx)):
-        out_ref[:, base + k * e : base + (k + 1) * e] = v[int(i)] * s[:, int(j), :]
+        out_ref[:, base + k * e : base + (k + 1) * e] = (
+            v[int(i)] * s[int(j)]
+        ).astype(jnp.float32)
 
 
 def _pallas_forward(x, w1, b1, w2, b2, w_bi, *, bilinear_type, block_b):
@@ -113,6 +130,11 @@ def _pallas_forward(x, w1, b1, w2, b2, w_bi, *, bilinear_type, block_b):
     if pad_b:
         x = jnp.pad(x, ((0, pad_b), (0, 0), (0, 0)))
     padded_b = b + pad_b
+    # 2-D (B, F*E) kernel input: free row-major bitcast; see _kernel_all
+    x = x.reshape(padded_b, f * e)
+    # MXU operand dtype follows x (bf16 on the serving/eval path; fp32
+    # accumulation inside the kernel either way)
+    cd = x.dtype if x.dtype in (jnp.bfloat16, jnp.float32) else jnp.float32
 
     kernel = _kernel_all if bilinear_type == "all" else _kernel_each
 
@@ -122,7 +144,7 @@ def _pallas_forward(x, w1, b1, w2, b2, w_bi, *, bilinear_type, block_b):
         out_shape=jax.ShapeDtypeStruct((padded_b, out_dim), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_b, f, e), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, f * e), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(w1.shape, lambda i: (0,) * 2, memory_space=pltpu.VMEM),
             pl.BlockSpec(b1.shape, lambda i: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec(w2.shape, lambda i: (0,) * 2, memory_space=pltpu.VMEM),
@@ -141,12 +163,12 @@ def _pallas_forward(x, w1, b1, w2, b2, w_bi, *, bilinear_type, block_b):
         ),
         interpret=_interpret(),
     )(
-        x.astype(jnp.float32),
+        x.astype(cd),
         w1.astype(jnp.float32),
         b1.astype(jnp.float32),
         w2.astype(jnp.float32),
         b2.astype(jnp.float32),
-        w_bi.astype(jnp.float32),
+        w_bi.astype(cd),
     )
     return out[:b] if pad_b else out
 
@@ -243,7 +265,7 @@ def fused_senet_bilinear_concat(
     x: jax.Array,
     *,
     bilinear_type: str = "all",
-    block_b: int = 256,
+    block_b: int = 512,
 ) -> jax.Array:
     """Drop-in replacement for the jnp reference path (same numerics)."""
     b = x.shape[0]
