@@ -608,9 +608,12 @@ class Trainer:
             loss_sum = None
             k = max(1, tc.steps_per_dispatch)
             if k > 1:
-                # K batches per dispatch: stack host-side (in the prefetch
-                # thread, overlapping the upload with device compute), scan
-                # K optimizer steps as one program
+                # K batches per dispatch, two pipeline stages: a decode
+                # thread (parquet/columnar batch assembly) feeds a
+                # stack+upload thread, while the main thread dispatches the
+                # K-step scans — decode, H2D, and device compute all
+                # overlap (single-stage left decode and upload serialized
+                # behind each other at full scale: 678K vs ~1M ex/s).
                 def _upload(buf):
                     stacked = self.put_chunk(buf)
                     # GLOBAL batch rows (under multi-controller each host's
@@ -618,10 +621,8 @@ class Trainer:
                     bsz = next(iter(stacked.values())).shape[1]
                     return stacked, len(buf), bsz
 
-                chunks = prefetch(
-                    self._chunked(iter(train_batches(epoch)), k),
-                    transform=_upload,
-                )
+                raw = prefetch(iter(train_batches(epoch)), depth=2 * k)
+                chunks = prefetch(self._chunked(raw, k), transform=_upload)
                 for stacked, n_chunk, bsz in chunks:
                     self.state, losses = self._train_chunk_fn(
                         self.state, stacked, self._mm_tables, rng
