@@ -43,7 +43,7 @@ def main(argv=None) -> int:
     import numpy as np
 
     from ctr_recommendation_tpu.config import microlens_experiment, serialize
-    from ctr_recommendation_tpu.data import ItemStore, iter_batches, load_split
+    from ctr_recommendation_tpu.data import ItemStore, load_split
     from ctr_recommendation_tpu.features import build_feature_map
     from ctr_recommendation_tpu.inference import Predictor
     from ctr_recommendation_tpu.training import Trainer
@@ -114,16 +114,13 @@ def main(argv=None) -> int:
         exp, trainer.state.params, trainer.state.model_state, item_store=store
     )
 
-    probs_all, labels_all, groups_all = [], [], []
-    for batch in iter_batches(data, fm, args.batch_size):
-        probs = np.asarray(pred(batch))
-        w = np.asarray(batch.get("__weight__", np.ones(len(probs))))
-        probs_all.append(probs[w > 0])
-        labels_all.append(np.asarray(batch[fm.label])[w > 0])
-        if args.gauc_col:
-            groups_all.append(np.asarray(batch[args.gauc_col])[w > 0])
-    probs = jnp.asarray(np.concatenate(probs_all))
-    labels = jnp.asarray(np.concatenate(labels_all))
+    # whole split scored as one device program (the predict CLI's bulk
+    # path); row order is preserved so labels/groups come straight from the
+    # loaded columns
+    probs_np = pred.score_table(data, batch_size=args.batch_size)
+    labels_np = np.asarray(data.columns[fm.label])
+    probs = jnp.asarray(probs_np)
+    labels = jnp.asarray(labels_np)
 
     a = float(auc(labels, probs))
     ll = float(logloss(labels, probs))
@@ -131,9 +128,7 @@ def main(argv=None) -> int:
     if args.gauc_col:
         from ctr_recommendation_tpu.training.metrics import group_auc
 
-        ga = group_auc(
-            np.asarray(labels), np.asarray(probs), np.concatenate(groups_all)
-        )
+        ga = group_auc(labels_np, probs_np, np.asarray(data.columns[args.gauc_col]))
         extra = f" gAUC[{args.gauc_col}]={ga:.6f}"
     print(f"[eval] rows={probs.shape[0]} AUC={a:.6f} logloss={ll:.6f}{extra}")
     return 0

@@ -79,8 +79,9 @@ def main(argv=None) -> int:
         exp, trainer.state.params, trainer.state.model_state, item_store=store
     )
 
-    batches = iter_batches(test, fm, args.batch_size)
-    probs = pred.predict_all(batches)
+    # whole split scored as one device program (no per-batch dispatch);
+    # iter_batches/predict_all remains the API for streaming sources
+    probs = pred.score_table(test, batch_size=args.batch_size)
     csv_path, zip_path = write_submission(probs, args.out_dir)
     print(f"[out] {csv_path}\n[out] {zip_path}")
     return 0

@@ -68,3 +68,30 @@ def test_fused_predictor_bf16_close_and_order_preserving(
     r32 = np.argsort(np.argsort(p32)).astype(np.float64)
     rho = np.corrcoef(r16, r32)[0, 1]
     assert rho > 0.995, rho
+
+
+def test_score_table_matches_predict_all(tiny_experiment, tmp_path):
+    """Bulk device-resident scoring (one lax.scan program, the predict CLI
+    path) must produce exactly the per-batch predict_all probabilities,
+    including the non-multiple-of-batch tail."""
+    from ctr_recommendation_tpu.data import ItemStore, iter_batches, load_split
+    from ctr_recommendation_tpu.data.synthetic import write_synthetic_dataset
+    from ctr_recommendation_tpu.features import build_feature_map
+    from ctr_recommendation_tpu.models import build_model
+
+    paths = write_synthetic_dataset(
+        str(tmp_path), num_rows=1000, num_items=120, max_len=8, mm_dim=24, seed=9
+    )
+    fm = build_feature_map(tiny_experiment.dataset)
+    test = load_split(paths["test"], fm, include_label=False)
+    store = ItemStore.from_parquet(paths["item_info"])
+    cfg = dataclasses.replace(tiny_experiment.model, use_pallas=True)
+    exp = tiny_experiment.replace(model=cfg)
+    module, params, state = build_model(fm, cfg, jax.random.key(0))
+    pred = Predictor(exp, params, state, item_store=store)
+
+    bs = 37  # forces a padded tail batch
+    want = pred.predict_all(iter_batches(test, fm, bs, item_store=None))
+    got = pred.score_table(test, batch_size=bs)
+    assert got.shape == (test.num_rows,)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
