@@ -248,6 +248,10 @@ class TrainConfig:
     # 2.3 s train epoch — raise this when epochs are that cheap. The final
     # epoch is always checkpointed.
     checkpoint_every: int = 1
+    # Resume-point saves return after the synchronous device->host snapshot;
+    # serialization/disk writes overlap the next epoch (orbax async). The
+    # best-metric export stays synchronous (it is the serving artifact).
+    async_checkpointing: bool = True
     # Mixed precision: params fp32, interaction/tower compute bf16.
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
@@ -372,6 +376,9 @@ def train_config_from_dict(d: Mapping[str, Any]) -> TrainConfig:
         checkpoint_dir=str(d.get("checkpoint_dir", base.checkpoint_dir)),
         keep_checkpoints=int(d.get("keep_checkpoints", base.keep_checkpoints)),
         checkpoint_every=int(d.get("checkpoint_every", base.checkpoint_every)),
+        async_checkpointing=bool(
+            d.get("async_checkpointing", base.async_checkpointing)
+        ),
         compute_dtype=str(d.get("compute_dtype", base.compute_dtype)),
         param_dtype=str(d.get("param_dtype", base.param_dtype)),
     )

@@ -21,13 +21,22 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, max_to_keep: int = 3):
+    def __init__(self, directory: str, max_to_keep: int = 3,
+                 async_save: bool = True):
+        """``async_save``: resume-point saves return after the synchronous
+        device->host snapshot; serialization + disk writes run in orbax's
+        background thread, overlapped with the next epoch's compute. Safe
+        with donated train-state buffers (orbax completes the D2H copy
+        before returning). Readers (latest_step/restore/close) drain any
+        in-flight save first."""
         directory = os.path.abspath(directory)
         os.makedirs(directory, exist_ok=True)
+        self._async = async_save
         self._mgr = ocp.CheckpointManager(
             directory,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, create=True, enable_async_checkpointing=False
+                max_to_keep=max_to_keep, create=True,
+                enable_async_checkpointing=async_save,
             ),
         )
         self._best_dir = os.path.join(directory, "best")
@@ -38,13 +47,20 @@ class CheckpointManager:
         if extra:
             payload["extra"] = extra
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
+        if not self._async:
+            self._mgr.wait_until_finished()
+
+    def wait(self) -> None:
+        """Block until any in-flight async save is durably on disk."""
         self._mgr.wait_until_finished()
 
     def latest_step(self) -> int | None:
+        self._mgr.wait_until_finished()
         return self._mgr.latest_step()
 
     def restore(self, step: int | None, target: Any) -> Any:
         """target: a pytree of like-shaped (possibly sharded) arrays."""
+        self._mgr.wait_until_finished()
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError("no checkpoint found")
@@ -141,4 +157,5 @@ class CheckpointManager:
         return restored["params"], restored["model_state"]
 
     def close(self) -> None:
+        self._mgr.wait_until_finished()
         self._mgr.close()

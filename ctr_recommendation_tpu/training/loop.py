@@ -95,7 +95,8 @@ class Trainer:
                     )
 
         self.ckpt = CheckpointManager(
-            checkpoint_dir or tc.checkpoint_dir, max_to_keep=tc.keep_checkpoints
+            checkpoint_dir or tc.checkpoint_dir, max_to_keep=tc.keep_checkpoints,
+            async_save=tc.async_checkpointing,
         )
         from ctr_recommendation_tpu.utils.tb import ScalarWriter
 
@@ -699,6 +700,7 @@ class Trainer:
             )
             self.history.append(entry)
             self._write_history_csv()
+        self.ckpt.wait()  # final async resume-point durably on disk
         self.log(f"Done. Best {tc.monitor}: {best:.4f}")
         return self.history[run_start:]
 
@@ -846,6 +848,7 @@ class Trainer:
             )
             self.history.append(entry)
             self._write_history_csv()
+        self.ckpt.wait()  # final async resume-point durably on disk
         self.log(f"Done. Best {tc.monitor}: {best:.4f}")
         return self.history[run_start:]
 
