@@ -34,7 +34,8 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="item vocab for --synthetic (use 91717 for full MicroLens scale)")
     p.add_argument("--model", default=None,
                    help="model name (mm_fibinet | xdeepfm | finalmlp | "
-                        "sasrec_fibinet | dcnv2 | deepfm | autoint | din | masknet)")
+                        "sasrec_fibinet | dcnv2 | deepfm | autoint | din | "
+                        "masknet | pnn | dlrm)")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--embedding-dim", type=int, default=None)

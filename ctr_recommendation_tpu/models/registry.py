@@ -24,9 +24,11 @@ from ctr_recommendation_tpu.models import (
     dcnv2,
     deepfm,
     din,
+    dlrm,
     fibinet,
     finalmlp,
     masknet,
+    pnn,
     sasrec_fibinet,
     xdeepfm,
 )
@@ -59,6 +61,8 @@ register("deepfm", deepfm)
 register("autoint", autoint)
 register("din", din)
 register("masknet", masknet)
+register("pnn", pnn)
+register("dlrm", dlrm)
 
 
 def build_model(

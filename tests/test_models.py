@@ -14,7 +14,7 @@ from ctr_recommendation_tpu.models import available_models, build_model, get_mod
     "name",
     [
         "mm_fibinet", "xdeepfm", "finalmlp", "sasrec_fibinet", "dcnv2",
-        "deepfm", "autoint", "din", "masknet",
+        "deepfm", "autoint", "din", "masknet", "pnn", "dlrm",
     ],
 )
 def test_forward_shapes_and_grad(name, tiny_experiment, tiny_feature_map, tiny_batch):
