@@ -331,6 +331,28 @@ def test_fit_on_device_history_schema_consistent(tmp_path, tiny_experiment):
     assert hist[1]["checkpoint_seconds"] > 0.0  # epoch 2 saved
 
 
+def test_rowwise_adagrad_cli_warning(tmp_path, capsys):
+    """Choosing rowwise_adagrad without an lr override must print the
+    measured-AUC warning (and an explicit lr must silence it)."""
+    from ctr_recommendation_tpu.cli.train import build_argparser, main
+
+    # use a bogus data root so main exits after the warning-bearing setup
+    # path but before any heavy work — the FileNotFoundError is expected
+    import pytest
+
+    argv = ["--data-root", str(tmp_path / "nope"),
+            "--table-optimizer", "rowwise_adagrad"]
+    with pytest.raises(FileNotFoundError):
+        main(argv)
+    err = capsys.readouterr().err
+    assert "rowwise_adagrad" in err and "-0.08 AUC" in err
+
+    with pytest.raises(FileNotFoundError):
+        main(argv + ["--learning-rate", "0.01"])
+    err = capsys.readouterr().err
+    assert "rowwise_adagrad" not in err
+
+
 # -------------------------------------------------- experiment.json provenance
 def test_experiment_json_not_clobbered_by_readonly_trainer(
     tmp_path, tiny_experiment
