@@ -19,6 +19,10 @@ def main(argv=None) -> int:
     p.add_argument("--out-dir", default="output")
     p.add_argument("--batch-size", type=int, default=8192)
     p.add_argument("--embedding-dim", type=int, default=None)
+    p.add_argument("--stream", action="store_true",
+                   help="stream the test split from parquet row groups "
+                        "instead of loading it into RAM (larger-than-memory "
+                        "splits); scores batch-by-batch in row order")
     args = p.parse_args(argv)
 
     from ctr_recommendation_tpu.utils import compilation_cache
@@ -65,13 +69,20 @@ def main(argv=None) -> int:
         )
     fm = build_feature_map(exp.dataset)
 
-    test = load_split(exp.dataset.test_data, fm, include_label=False)
     store = ItemStore.from_parquet(
         exp.dataset.item_info,
         id_col=exp.dataset.item_info_key,
         emb_col=exp.dataset.item_info_emb_col,
     )
-    print(f"[data] test {test.num_rows} rows")
+    if args.stream:
+        import pyarrow.parquet as pq
+
+        n_rows = pq.ParquetFile(exp.dataset.test_data).metadata.num_rows
+        test = None
+    else:
+        test = load_split(exp.dataset.test_data, fm, include_label=False)
+        n_rows = test.num_rows
+    print(f"[data] test {n_rows} rows")
 
     trainer = Trainer(exp, steps_per_epoch=1, log_fn=print)
     trainer.load_best()
@@ -79,9 +90,20 @@ def main(argv=None) -> int:
         exp, trainer.state.params, trainer.state.model_state, item_store=store
     )
 
-    # whole split scored as one device program (no per-batch dispatch);
-    # iter_batches/predict_all remains the API for streaming sources
-    probs = pred.score_table(test, batch_size=args.batch_size)
+    if args.stream:
+        # row-group streaming (submission row order = parquet row order:
+        # single "host", unshuffled)
+        from ctr_recommendation_tpu.data.streaming import stream_batches
+
+        probs = pred.predict_all(
+            stream_batches(
+                exp.dataset.test_data, fm, args.batch_size, include_label=False
+            )
+        )
+    else:
+        # whole split scored as one device program (no per-batch dispatch)
+        probs = pred.score_table(test, batch_size=args.batch_size)
+    assert probs.shape == (n_rows,)
     csv_path, zip_path = write_submission(probs, args.out_dir)
     print(f"[out] {csv_path}\n[out] {zip_path}")
     return 0

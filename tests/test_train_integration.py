@@ -107,6 +107,31 @@ def test_train_learns_signal_and_resumes(setup):
     )
     assert rc == 0
 
+    # ---- predict CLI: bulk (score_table) vs --stream row-group scoring
+    # must write identical submissions (row order + probabilities) ----
+    import csv
+
+    from ctr_recommendation_tpu.cli import predict as predict_cli
+
+    for flag, out in (([], "out_bulk"), (["--stream"], "out_stream")):
+        rc = predict_cli.main(
+            [
+                "--data-root", str(root),
+                "--checkpoint-dir", exp.train.checkpoint_dir,
+                "--out-dir", str(root / out),
+                "--batch-size", "256",
+            ]
+            + flag
+        )
+        assert rc == 0
+    read = lambda p: [
+        float(r[1]) for r in list(csv.reader(open(p)))[1:]
+    ]
+    bulk = read(str(root / "out_bulk" / "prediction_fibinet.csv"))
+    stream = read(str(root / "out_stream" / "prediction_fibinet.csv"))
+    assert len(bulk) == test.num_rows
+    np.testing.assert_allclose(bulk, stream, atol=2e-6)
+
 
 def test_bn_folded_predictor_matches_unfolded(setup):
     exp, fm, train, valid, test, store, root = setup
