@@ -240,6 +240,14 @@ def main():
     p.add_argument("--items", type=int, default=1500)
     p.add_argument("--max-len", type=int, default=8)
     p.add_argument("--seed", type=int, default=11)
+    p.add_argument("--torch-seed", type=int, default=None,
+                   help="override the torch side's training seed only (data "
+                        "and the JAX side keep the recipe seed) — for the "
+                        "seed-variance control: if torch-vs-torch across "
+                        "seeds moves as much as torch-vs-jax, the framework "
+                        "gap is within run variance")
+    p.add_argument("--torch-only", action="store_true",
+                   help="skip the JAX side (seed-variance control runs)")
     p.add_argument("--out", default=None, help="write the full result JSON here")
     args = p.parse_args()
 
@@ -257,10 +265,12 @@ def main():
             f"{int(0.3 * spe * args.epochs)} of {spe * args.epochs})",
             flush=True,
         )
-        t0 = time.time()
-        jx = run_jax_trainer(exp, fm, train, valid, store)
-        t_jax = time.time() - t0
-        print(f"[jax] done in {t_jax:.1f}s", flush=True)
+        jx, t_jax = None, 0.0
+        if not args.torch_only:
+            t0 = time.time()
+            jx = run_jax_trainer(exp, fm, train, valid, store)
+            t_jax = time.time() - t0
+            print(f"[jax] done in {t_jax:.1f}s", flush=True)
         t0 = time.time()
         th = run_torch_reference(
             fm, train, valid, store,
@@ -269,40 +279,47 @@ def main():
             epochs=exp.train.epochs,
             lr=exp.train.learning_rate,
             weight_decay=exp.train.weight_decay,
-            seed=exp.train.seed,
+            seed=(
+                args.torch_seed if args.torch_seed is not None
+                else exp.train.seed
+            ),
             progress=True,
         )
         t_torch = time.time() - t0
         print(f"[torch] done in {t_torch:.1f}s", flush=True)
-    print(f"{'epoch':>5} | {'torch loss':>10} {'torch AUC':>9} | {'jax loss':>10} {'jax AUC':>9} | {'dloss':>7} {'dAUC':>7}")
-    for t, j in zip(th, jx):
-        print(
-            f"{t['epoch']:>5} | {t['train_loss']:>10.4f} {t['auc']:>9.4f} "
-            f"| {j['train_loss']:>10.4f} {j['auc']:>9.4f} "
-            f"| {abs(t['train_loss'] - j['train_loss']):>7.4f} "
-            f"{abs(t['auc'] - j['auc']):>7.4f}"
-        )
-    t_best = int(np.argmax([t["auc"] for t in th])) + 1
-    j_best = int(np.argmax([j["auc"] for j in jx])) + 1
     result = {
         "shape": {
             "embedding_dim": args.embedding_dim, "batch_size": args.batch_size,
             "epochs": args.epochs, "train_rows": args.rows, "items": args.items,
             "max_len": args.max_len, "seed": args.seed,
+            "torch_seed": args.torch_seed,
         },
         "torch_loss": [t["train_loss"] for t in th],
-        "jax_loss": [j["train_loss"] for j in jx],
         "torch_auc": [t["auc"] for t in th],
-        "jax_auc": [j["auc"] for j in jx],
-        "max_loss_gap": float(
-            max(abs(t["train_loss"] - j["train_loss"]) for t, j in zip(th, jx))
-        ),
-        "max_auc_gap": float(max(abs(t["auc"] - j["auc"]) for t, j in zip(th, jx))),
-        "torch_best_epoch": t_best,
-        "jax_best_epoch": j_best,
+        "torch_best_epoch": int(np.argmax([t["auc"] for t in th])) + 1,
         "torch_seconds": round(t_torch, 1),
-        "jax_seconds": round(t_jax, 1),
     }
+    if jx is not None:
+        print(f"{'epoch':>5} | {'torch loss':>10} {'torch AUC':>9} | {'jax loss':>10} {'jax AUC':>9} | {'dloss':>7} {'dAUC':>7}")
+        for t, j in zip(th, jx):
+            print(
+                f"{t['epoch']:>5} | {t['train_loss']:>10.4f} {t['auc']:>9.4f} "
+                f"| {j['train_loss']:>10.4f} {j['auc']:>9.4f} "
+                f"| {abs(t['train_loss'] - j['train_loss']):>7.4f} "
+                f"{abs(t['auc'] - j['auc']):>7.4f}"
+            )
+        result.update(
+            jax_loss=[j["train_loss"] for j in jx],
+            jax_auc=[j["auc"] for j in jx],
+            max_loss_gap=float(
+                max(abs(t["train_loss"] - j["train_loss"]) for t, j in zip(th, jx))
+            ),
+            max_auc_gap=float(
+                max(abs(t["auc"] - j["auc"]) for t, j in zip(th, jx))
+            ),
+            jax_best_epoch=int(np.argmax([j["auc"] for j in jx])) + 1,
+            jax_seconds=round(t_jax, 1),
+        )
     print(json.dumps(result))
     if args.out:
         with open(args.out, "w") as f:
