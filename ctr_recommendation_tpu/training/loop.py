@@ -524,8 +524,13 @@ class Trainer:
         """Epoch rng, safe under multi-controller: device_put with a global
         replicated sharding is illegal there (non-addressable devices), but a
         host-side key passed into jit is lifted as replicated on every
-        process — valid because all processes derive it from the same seed."""
-        key = jax.random.key(seed)
+        process — valid because all processes derive it from the same seed.
+
+        The impl follows ``train.rng_impl``: "rbg" uses the TPU hardware
+        bit-generator for dropout masks (-19% step time on dropout-heavy
+        models, schema.py note); param init stays threefry regardless."""
+        impl = {"threefry": "threefry2x32", "rbg": "rbg"}[self.exp.train.rng_impl]
+        key = jax.random.key(seed, impl=impl)
         if jax.process_count() == 1:
             return jax.device_put(key, self._repl_sharding)
         return key

@@ -331,6 +331,30 @@ def test_fit_on_device_history_schema_consistent(tmp_path, tiny_experiment):
     assert hist[1]["checkpoint_seconds"] > 0.0  # epoch 2 saved
 
 
+def test_rbg_rng_impl_trains(tiny_experiment, tiny_batch):
+    """rng_impl='rbg' (hardware PRNG for dropout) must run a train step to a
+    finite loss; threefry stays the default."""
+    import dataclasses
+
+    import jax
+
+    from ctr_recommendation_tpu.training import Trainer
+
+    assert tiny_experiment.train.rng_impl == "threefry"
+    exp = tiny_experiment.replace(
+        train=dataclasses.replace(
+            tiny_experiment.train, rng_impl="rbg",
+            checkpoint_dir="/tmp/rbg_ckpt",
+        )
+    )
+    trainer = Trainer(exp, steps_per_epoch=1, log_fn=lambda s: None)
+    batch = dict(tiny_batch)
+    batch["label"] = np.zeros(len(batch["item_id"]), np.float32)
+    rng = trainer._replicated_key(0)
+    state, m = trainer._train_step(trainer.state, trainer.put_batch(batch), rng)
+    assert np.isfinite(float(m["loss"]))
+
+
 def test_rowwise_adagrad_cli_warning(tmp_path, capsys):
     """Choosing rowwise_adagrad without an lr override must print the
     measured-AUC warning (and an explicit lr must silence it)."""
