@@ -76,6 +76,16 @@ class MicroBatcher:
         self._closed = True
         self._queue.put(None)
         self._thread.join(timeout=5)
+        # A request that squeezed past the _closed check but was enqueued
+        # after the sentinel was consumed would block its caller forever —
+        # fail its Future instead of stranding it.
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                item[1].set_exception(RuntimeError("batcher is closed"))
 
     def _run(self) -> None:
         while True:
@@ -108,24 +118,42 @@ class MicroBatcher:
             self._dispatch(pending)
 
     def _dispatch(self, pending: list[tuple[list[dict], Future]]) -> None:
+        """Validate each request chunk on its own, group the survivors by
+        dense-column signature, and run one device dispatch per group.
+
+        Coalescing must never contaminate independent requests: a malformed
+        chunk (bad dense_dim, non-dict row, out-of-range id) fails ONLY its
+        own Future, and a chunk that supplies ``item_emb_d128`` client-side
+        never merges with one relying on the server join (the collator's
+        all-or-none dense rule would otherwise 400 both, nondeterministically
+        by arrival timing)."""
         if not pending:
             return
-        rows = [r for chunk, _ in pending for r in chunk]
-        try:
-            batch, n = self.collator.collate(rows)
-            probs = np.asarray(self.predictor(batch), np.float32)[:n]
-        except Exception as e:  # surface per-request, keep the thread alive
-            for _, fut in pending:
-                fut.set_exception(e)
-            return
-        self.batches_dispatched += 1
-        self.coalesced_batches += len(pending) > 1
-        self.requests_served += len(pending)
-        self.rows_scored += n
-        off = 0
+        groups: dict[frozenset, list[tuple[list[dict], Future]]] = {}
         for chunk, fut in pending:
-            fut.set_result(probs[off : off + len(chunk)].tolist())
-            off += len(chunk)
+            try:
+                sig = self.collator.validate_chunk(chunk)
+            except Exception as e:  # fail the offender, spare its neighbors
+                fut.set_exception(e)
+                continue
+            groups.setdefault(sig, []).append((chunk, fut))
+        for grp in groups.values():
+            rows = [r for chunk, _ in grp for r in chunk]
+            try:
+                batch, n = self.collator.collate(rows)
+                probs = np.asarray(self.predictor(batch), np.float32)[:n]
+            except Exception as e:  # surface per-request, keep the thread alive
+                for _, fut in grp:
+                    fut.set_exception(e)
+                continue
+            self.batches_dispatched += 1
+            self.coalesced_batches += len(grp) > 1
+            self.requests_served += len(grp)
+            self.rows_scored += n
+            off = 0
+            for chunk, fut in grp:
+                fut.set_result(probs[off : off + len(chunk)].tolist())
+                off += len(chunk)
 
 
 class ScoringService:
@@ -151,10 +179,27 @@ class ScoringService:
         return self.batcher.submit(rows)
 
     def warmup(self) -> None:
-        """Pre-compile every bucket shape so first requests don't pay XLA."""
+        """Pre-compile every bucket shape so first requests don't pay XLA.
+
+        Each bucket has TWO batch structures: the no-dense one (server-side
+        device join fills ``item_emb_d128`` & co from the id column) and the
+        one where the client ships the dense vectors — a different jit
+        signature, so both are warmed (a cold compile at request time costs
+        tens of seconds)."""
+        from ctr_recommendation_tpu.config.schema import FeatureType
+
+        protos: list[dict] = [{}]
+        dense = {
+            f.name: [0.0] * f.dense_dim
+            for f in self.collator.features
+            if f.type == FeatureType.DENSE_EMBEDDING
+        }
+        if dense:
+            protos.append(dense)  # all dense columns supplied client-side
         for b in self.collator.buckets:
-            batch, _ = self.collator.collate([{} for _ in range(b)])
-            np.asarray(self.batcher.predictor(batch))
+            for proto in protos:
+                batch, _ = self.collator.collate([dict(proto) for _ in range(b)])
+                np.asarray(self.batcher.predictor(batch))
 
     def info(self) -> dict:
         return {
@@ -219,8 +264,17 @@ def make_http_server(
                         'body must be {"rows": [{feature: value, ...}, ...]}'
                     )
                 probs = service.score(rows)
-            except (ValueError, TypeError, KeyError, json.JSONDecodeError) as e:
+            except (
+                ValueError,
+                TypeError,
+                KeyError,
+                AttributeError,
+                json.JSONDecodeError,
+            ) as e:
                 self._reply(400, {"error": str(e)})
+                return
+            except Exception as e:  # never drop the connection on a request
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
                 return
             self._reply(200, {"probs": probs})
 
