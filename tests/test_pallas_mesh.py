@@ -62,6 +62,43 @@ def test_fused_interaction_on_data_sharded_mesh(btype):
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("btype", ["all", "each"])
+def test_fused_interaction_grads_on_data_sharded_mesh(btype):
+    """The hand-written Pallas backward under a dp mesh: dx comes back
+    batch-sharded, weight grads are psum'd across shards inside the
+    custom_partitioning lowering — values must match the single-device jnp
+    reference VJP."""
+    mesh = _mesh()
+    sp, bp, x = _interaction_setup(btype, b=64, f=6, e=16)
+
+    def loss(fn):
+        def inner(sp_, bp_, x_):
+            return jnp.sum(fn(sp_, bp_, x_) ** 2)
+
+        return inner
+
+    ref_fn = loss(
+        lambda s_, b_, x_: senet_bilinear_concat_reference(
+            s_, b_, x_, bilinear_type=btype
+        )
+    )
+    ker_fn = loss(
+        lambda s_, b_, x_: fused_senet_bilinear_concat(
+            s_, b_, x_, bilinear_type=btype, block_b=16
+        )
+    )
+    want = jax.grad(ref_fn, argnums=(0, 1, 2))(sp, bp, x)
+
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None, None)))
+    repl = NamedSharding(mesh, P())
+    sp_s = jax.device_put(sp, jax.tree.map(lambda _: repl, sp))
+    bp_s = jax.device_put(bp, jax.tree.map(lambda _: repl, bp))
+    got = jax.jit(jax.grad(ker_fn, argnums=(0, 1, 2)))(sp_s, bp_s, xs)
+    assert got[2].sharding.spec[0] == "data", got[2].sharding
+    for a, w in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(w), rtol=2e-4, atol=2e-4)
+
+
 def test_fused_interaction_reshards_adversarial_input():
     """x arriving sharded on its FIELD dim (not batch) must still compute
     correctly — the partition rule forces (batch, replicated) layouts."""

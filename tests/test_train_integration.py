@@ -168,3 +168,45 @@ def test_bn_folded_predictor_matches_unfolded(setup):
     np.testing.assert_allclose(a, b, atol=2e-2)
     corr = np.corrcoef(np.argsort(np.argsort(a)), np.argsort(np.argsort(b)))[0, 1]
     assert corr > 0.995, corr
+
+
+def test_training_with_pallas_matches_jnp_path(setup):
+    """use_pallas now applies to TRAINING too (hand-written Pallas backward,
+    VERDICT r3 item 2): a short fit with the fused kernel fwd+bwd must track
+    the jnp path's loss trajectory step-for-step at fp32 compute."""
+    import jax
+
+    exp, fm, train, valid, test, store, root = setup
+    spe = train.num_rows // exp.train.batch_size
+    results = {}
+    for pallas in (False, True):
+        e = exp.replace(
+            model=dataclasses.replace(
+                exp.model, use_pallas=pallas, tower_dtype="float32"
+            ),
+            train=dataclasses.replace(
+                exp.train,
+                epochs=1,
+                compute_dtype="float32",
+                checkpoint_dir=str(root / f"ckpt_pallas_{pallas}"),
+            ),
+        )
+        trainer = Trainer(e, steps_per_epoch=spe, log_fn=lambda s: None)
+        losses = []
+        rng = jax.random.key(0)
+        for i, b in enumerate(
+            iter_batches(
+                train, fm, e.train.batch_size, shuffle=True, seed=7, epoch=0,
+                item_store=store, drop_last=True,
+            )
+        ):
+            trainer.state, m = trainer._train_step(
+                trainer.state, trainer.put_batch(b), rng
+            )
+            losses.append(float(m["loss"]))
+            if i >= 9:
+                break
+        results[pallas] = np.array(losses)
+    np.testing.assert_allclose(results[True], results[False], rtol=2e-4, atol=2e-4)
+    # the late-step losses must actually have moved (optimizer engaged)
+    assert results[True][-1] < results[True][0]
