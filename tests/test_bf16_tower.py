@@ -12,6 +12,8 @@ import pytest
 
 from benchmarks.bf16_tower_study import run
 
+pytestmark = pytest.mark.slow  # excluded from `pytest -m 'not slow'` inner loop
+
 
 @pytest.fixture(scope="module")
 def both(tmp_path_factory):

@@ -24,9 +24,12 @@ from benchmarks.convergence_parity import (
     run_torch_reference,
 )
 
-pytestmark = pytest.mark.skipif(
-    not reference_available(), reason="reference checkout not present"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not reference_available(), reason="reference checkout not present"
+    ),
+    pytest.mark.slow,  # excluded from `pytest -m 'not slow'` inner loop
+]
 
 
 @pytest.fixture(scope="module")

@@ -11,6 +11,8 @@ from ctr_recommendation_tpu.data import ItemStore, load_split, write_synthetic_d
 from ctr_recommendation_tpu.features import build_feature_map
 from ctr_recommendation_tpu.training import Trainer
 
+pytestmark = pytest.mark.slow  # excluded from `pytest -m 'not slow'` inner loop
+
 
 @pytest.fixture(scope="module")
 def setup(tmp_path_factory):

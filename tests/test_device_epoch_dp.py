@@ -13,6 +13,8 @@ from ctr_recommendation_tpu.features import build_feature_map
 from ctr_recommendation_tpu.parallel.mesh import make_mesh
 from ctr_recommendation_tpu.training import Trainer
 
+pytestmark = pytest.mark.slow  # excluded from `pytest -m 'not slow'` inner loop
+
 
 def test_fit_on_device_mp8_sharded_tables(tmp_path):
     """Epoch scan with the shard_map row-sharded embedding lookup (1x8 mesh)."""

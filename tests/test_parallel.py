@@ -17,6 +17,8 @@ from ctr_recommendation_tpu.parallel.embedding import (
 )
 from ctr_recommendation_tpu.parallel.mesh import make_mesh
 
+pytestmark = pytest.mark.slow  # excluded from `pytest -m 'not slow'` inner loop
+
 
 def _mesh(dp, mp):
     return make_mesh(MeshConfig(data_parallel=dp, model_parallel=mp))

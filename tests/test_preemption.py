@@ -7,11 +7,15 @@ preemption, not a simulated flag), then relaunch with --resume and assert
 training continues from the checkpoint and finishes all epochs.
 """
 
+import pytest
+
 import os
 import signal
 import subprocess
 import sys
 import time
+
+pytestmark = pytest.mark.slow  # excluded from `pytest -m 'not slow'` inner loop
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -4,8 +4,12 @@ Covers Trainer.profile_epoch + the CLI wiring (SURVEY §5.1 tracing
 subsystem), which was previously exercised only by hand on the chip.
 """
 
+import pytest
+
 import glob
 import os
+
+pytestmark = pytest.mark.slow  # excluded from `pytest -m 'not slow'` inner loop
 
 
 def test_profile_dir_writes_device_trace(tmp_path):

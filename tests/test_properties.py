@@ -8,6 +8,7 @@ pytest can take seconds on first example.
 """
 
 import numpy as np
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from ctr_recommendation_tpu.data.parquet import TableData, _pad_sequences, iter_batches
@@ -86,6 +87,7 @@ def test_pad_sequences_matches_naive(max_len, seqs):
         assert got[r, max_len - len(tail) :].tolist() == tail
 
 
+@pytest.mark.slow  # many hypothesis examples x jit retraces (~45 s)
 @given(
     vocab=st.integers(2, 64),
     n_ids=st.integers(1, 200),

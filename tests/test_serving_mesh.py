@@ -20,6 +20,8 @@ from ctr_recommendation_tpu.config.loader import microlens_features
 from ctr_recommendation_tpu.config.schema import MeshConfig
 from ctr_recommendation_tpu.data import write_synthetic_dataset
 
+pytestmark = pytest.mark.slow  # excluded from `pytest -m 'not slow'` inner loop
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _PREDICT_1DEV = """

@@ -14,6 +14,8 @@ from ctr_recommendation_tpu.features import build_feature_map
 from ctr_recommendation_tpu.inference import Predictor, write_submission
 from ctr_recommendation_tpu.training import Trainer
 
+pytestmark = pytest.mark.slow  # excluded from `pytest -m 'not slow'` inner loop
+
 
 @pytest.fixture(scope="module")
 def setup(tmp_path_factory):
