@@ -147,18 +147,11 @@ def main(argv=None) -> int:
     if args.model_parallel > 1:
         exp = exp.replace(mesh=MeshConfig(model_parallel=args.model_parallel))
 
-    if exp.train.table_optimizer == "rowwise_adagrad" and args.learning_rate is None:
-        # measured on the full-scale MicroLens run: rowwise_adagrad at the
-        # default OneCycle(lr 1e-3) plateaus ~0.08 AUC below dense/lazy-adam
-        # (docs/PERFORMANCE.md table-optimizer convergence table) — the
-        # adagrad accumulator shrinks the effective step; it needs its own lr
-        print(
-            "[warn] --table-optimizer rowwise_adagrad with the default lr "
-            "schedule measured ~-0.08 AUC vs dense/adam on the full-scale "
-            "run (docs/PERFORMANCE.md); tune --learning-rate for it, or use "
-            "--table-optimizer adam (lazy sparse; matches dense exactly)",
-            file=sys.stderr,
-        )
+    # (the round-3 "-0.08 AUC" rowwise_adagrad warning is gone: the gap was
+    # the optax-default rss accumulator floor of 0.1 swamping CTR-scale
+    # gradients; the accumulator now starts at 0 — torch Adagrad's default —
+    # and the first update of a row is properly normalized. See
+    # training/sparse.py rss_init and tests/test_sparse.py.)
 
     return run_training(
         exp, resume=args.resume, strict_items=args.strict_items, stream=args.stream,

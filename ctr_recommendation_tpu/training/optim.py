@@ -77,7 +77,11 @@ def make_optimizer(
         # reproduce (the logged run is Adam), and the sparse TableOptimizer
         # mirrors this exact ordering for dense/sparse parity
         # (training/sparse.py update()).
-        parts.append(optax.scale_by_rss(initial_accumulator_value=0.1, eps=1e-10))
+        # initial_accumulator_value=0 (torch Adagrad's default, NOT optax's
+        # 0.1): a 0.1 floor swamps CTR-scale gradients (~1e-3) and froze the
+        # embedding tables — see training/sparse.py rss_init for the
+        # round-3 measurement.
+        parts.append(optax.scale_by_rss(initial_accumulator_value=0.0, eps=1e-10))
         if cfg.weight_decay:
             parts.append(optax.add_decayed_weights(cfg.weight_decay))
     else:

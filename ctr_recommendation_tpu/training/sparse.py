@@ -99,8 +99,16 @@ class TableOptimizer:
     kind: str  # "adagrad" | "rowwise_adagrad" | "adam"
     schedule: Callable[[jax.Array], jax.Array]
     weight_decay: float = 0.0
-    # optax parity constants
-    rss_init: float = 0.1
+    # Accumulator starts at ZERO (torch.optim.Adagrad's default
+    # initial_accumulator_value): the first update of a row is then
+    # lr * g/sqrt(g^2) = lr * sign-ish — the normalized bootstrap embeddings
+    # need. The earlier optax-default 0.1 floor was the round-3 "-0.08 AUC"
+    # bug: CTR embedding grads are ~1e-3-1e-4, so sum(g^2) stays far below
+    # 0.1 for the whole run and every update collapsed to lr * g * 3.16 —
+    # the tables moved ~1e-6/20 steps vs Adam's ~6e-2 (measured; the
+    # masked-dense `acc > 0` guard keeps untouched rows exactly fixed
+    # either way). optim.py's dense "adagrad" chain uses the same 0.0.
+    rss_init: float = 0.0
     rss_eps: float = 1e-10  # matches optim.py scale_by_rss(eps=1e-10) / torch
     b1: float = 0.9
     b2: float = 0.999

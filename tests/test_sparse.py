@@ -119,7 +119,7 @@ def test_sparse_adagrad_matches_dense(partial_touch):
     table = jax.random.normal(key, (V, E))
     sched = optax.constant_schedule(0.05)
     tx = optax.chain(
-        optax.scale_by_rss(initial_accumulator_value=0.1, eps=1e-10),
+        optax.scale_by_rss(initial_accumulator_value=0.0, eps=1e-10),
         optax.scale_by_learning_rate(sched),
     )
     opt = sparse_lib.TableOptimizer(kind="adagrad", schedule=sched)
@@ -249,10 +249,14 @@ def test_trainer_sparse_mp_sharded_runs(tiny_experiment):
     sm, mm = trm._train_step(trm.state, trm.put_batch(batch), key)
     assert np.isfinite(float(m1["loss"]))
     np.testing.assert_allclose(float(m1["loss"]), float(mm["loss"]), atol=1e-5)
+    # atol: the adagrad update g/sqrt(sum g^2 + 1e-10) normalizes away the
+    # gradient's magnitude (rss_init=0, torch semantics), so fp32
+    # reduction-order differences between the sharded and single-device
+    # grads are amplified to ~1e-4 on the lr-sized first step
     np.testing.assert_allclose(
         np.asarray(sm.params["trunk"]["tables"]["item_id"]),
         np.asarray(s1.params["trunk"]["tables"]["item_id"]),
-        atol=2e-5,
+        atol=5e-4,
     )
 
 
@@ -351,3 +355,24 @@ def test_sparse_with_attention_pooling_model(tiny_experiment):
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(a, b, atol=3e-5), *results
     )
+
+
+@pytest.mark.parametrize("table_opt", ["rowwise_adagrad", "adagrad"])
+def test_adagrad_tables_actually_train(tiny_experiment, table_opt):
+    """Regression for the round-3 -0.08 AUC finding: with the optax-default
+    rss floor of 0.1 the adagrad-family updates collapsed to lr * g * 3.16
+    for CTR-scale gradients and the embedding tables were effectively FROZEN
+    (mean |dtable| ~1e-6 over 20 steps vs lazy-adam's ~6e-2). With
+    rss_init=0 (torch semantics) the first touch of a row is a normalized
+    lr-sized step — the table must move by at least 1e-3 mean-abs."""
+    rng = np.random.default_rng(12)
+    exp = _sparse_exp(tiny_experiment, table_opt)
+    tr = Trainer(exp, total_steps=30, log_fn=lambda s: None)
+    t0 = np.asarray(tr.state.params["trunk"]["tables"]["item_id"]).copy()
+    key = jax.random.key(0)
+    for _ in range(20):
+        b = _labeled(make_batch(rng, 64), rng)
+        tr.state, _ = tr._train_step(tr.state, tr.put_batch(b), key)
+    t1 = np.asarray(tr.state.params["trunk"]["tables"]["item_id"])
+    moved = np.abs(t1 - t0).mean()
+    assert moved > 1e-3, f"tables frozen under {table_opt}: mean|dtable|={moved:.2e}"
