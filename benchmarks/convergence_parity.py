@@ -186,7 +186,8 @@ def run_jax_trainer(exp, fm, train, valid, store) -> list[dict[str, float]]:
 
 
 def build_setup(root: str, *, embedding_dim=16, batch_size=256, epochs=4,
-                num_rows=12000, num_items=1500, max_len=8, seed=11):
+                num_rows=12000, num_items=1500, max_len=8, seed=11,
+                signal="planted"):
     """Synthetic dataset + matched JAX experiment (reference architecture:
     mm 128-d input, 512-256 tower, E configurable)."""
     import dataclasses
@@ -198,7 +199,7 @@ def build_setup(root: str, *, embedding_dim=16, batch_size=256, epochs=4,
 
     paths = write_synthetic_dataset(
         root, num_rows=num_rows, num_items=num_items, max_len=max_len,
-        mm_dim=REF_MM_DIM, seed=seed,
+        mm_dim=REF_MM_DIM, seed=seed, signal=signal,
     )
     exp = microlens_experiment(
         data_root=root,
@@ -240,6 +241,9 @@ def main():
     p.add_argument("--items", type=int, default=1500)
     p.add_argument("--max-len", type=int, default=8)
     p.add_argument("--seed", type=int, default=11)
+    p.add_argument("--signal", choices=("planted", "high"), default="planted",
+                   help="'high' = the reference-regime workload (Bayes AUC ~0.95;\n"
+                        "VERDICT r3 item 1: both sides must peak >=0.90)")
     p.add_argument("--torch-seed", type=int, default=None,
                    help="override the torch side's training seed only (data "
                         "and the JAX side keep the recipe seed) — for the "
@@ -255,7 +259,7 @@ def main():
         exp, fm, train, valid, store = build_setup(
             root, embedding_dim=args.embedding_dim, batch_size=args.batch_size,
             epochs=args.epochs, num_rows=args.rows, num_items=args.items,
-            max_len=args.max_len, seed=args.seed,
+            max_len=args.max_len, seed=args.seed, signal=args.signal,
         )
         spe = train.num_rows // args.batch_size
         print(
@@ -292,7 +296,7 @@ def main():
             "embedding_dim": args.embedding_dim, "batch_size": args.batch_size,
             "epochs": args.epochs, "train_rows": args.rows, "items": args.items,
             "max_len": args.max_len, "seed": args.seed,
-            "torch_seed": args.torch_seed,
+            "signal": args.signal, "torch_seed": args.torch_seed,
         },
         "torch_loss": [t["train_loss"] for t in th],
         "torch_auc": [t["auc"] for t in th],

@@ -443,6 +443,21 @@ class Trainer:
         def train_chunk(state: TrainState, stacked: dict, mm_tables: dict,
                         rng: jax.Array):
             def body(st, batch):
+                # undo the wire narrowing (put_chunk/_wire_dtype): uint8
+                # label/weight -> f32, uint8 categoricals -> int32 — a free
+                # fused cast on device, vs 4x the bytes through the relay
+                batch = {
+                    k: (
+                        v.astype(
+                            jnp.float32
+                            if k in (self.fm.label, "__weight__")
+                            else jnp.int32
+                        )
+                        if v.dtype == jnp.uint8
+                        else v
+                    )
+                    for k, v in batch.items()
+                }
                 if dp > 1:
                     batch = {
                         k: jax.lax.with_sharding_constraint(
@@ -460,10 +475,65 @@ class Trainer:
 
         return train_chunk
 
+    def _wire_dtype(self, key: str, first: np.ndarray) -> np.dtype | None:
+        """Narrowest safe wire dtype for a streamed column, decided ONCE on
+        the first chunk (a per-chunk choice would retrace the jitted scan).
+
+        The streaming path is H2D-bandwidth-bound through this
+        environment's relay (docs/PERFORMANCE.md round-3 decomposition:
+        2.25 s compute + ~1.95 s serialized upload per 3.07M-row epoch), so
+        every wire byte is wall-clock: binary labels/weights ride as uint8
+        (4x), small-vocab categoricals (likes/views: vocab 11) as uint8.
+        The chunk scan body upcasts on device before the step, so training
+        numerics are bit-identical (tests/test_chunked_fit.py)."""
+        from ctr_recommendation_tpu.config.schema import FeatureType
+
+        if key in (self.fm.label, "__weight__"):
+            # only exactly-representable {0..255} integral values (CTR
+            # labels and pad weights are 0/1); soft labels keep f32
+            if first.dtype == np.float32 and np.all(
+                first == first.astype(np.uint8)
+            ):
+                return np.dtype(np.uint8)
+            return None
+        for f in self.fm.features:
+            if f.name != key or f.type != FeatureType.CATEGORICAL:
+                continue
+            t = self.fm.table(self.fm.table_of[f.name])
+            if not t.hashed and t.vocab_size <= 256 and first.min() >= 0:
+                return np.dtype(np.uint8)
+        return None
+
     def put_chunk(self, buf: list[dict[str, np.ndarray]]) -> dict[str, jax.Array]:
         """Stack K same-shape numpy batches -> (K, bs, ...) device arrays,
-        scan axis unsharded, rows sharded over the data axis."""
-        stacked = {k: np.stack([b[k] for b in buf]) for k in buf[0]}
+        scan axis unsharded, rows sharded over the data axis. Columns ride
+        the wire at their narrowest safe dtype (see _wire_dtype)."""
+        from ctr_recommendation_tpu.config.schema import FeatureType
+
+        dead = {
+            f.name
+            for f in self.fm.features
+            if f.type == FeatureType.PLACEHOLDER  # zeros field; reads no column
+        }
+        stacked = {
+            k: np.stack([b[k] for b in buf]) for k in buf[0] if k not in dead
+        }
+        if not hasattr(self, "_wire_plan"):
+            self._wire_plan = {
+                k: dt
+                for k, v in stacked.items()
+                if (dt := self._wire_dtype(k, v)) is not None
+            }
+        for k, dt in self._wire_plan.items():
+            v = stacked[k]
+            w = v.astype(dt)
+            if v.dtype != dt and not np.array_equal(w, v):
+                raise ValueError(
+                    f"streamed column {k!r} no longer fits wire dtype {dt} "
+                    "chosen from the first chunk (e.g. soft labels appearing "
+                    "mid-stream); restart training so the plan is re-derived"
+                )
+            stacked[k] = w
         from ctr_recommendation_tpu.parallel.distributed import host_local_to_global
 
         return host_local_to_global(

@@ -102,49 +102,85 @@ def binned_auc_finalize(hist_pos: jax.Array, hist_neg: jax.Array) -> jax.Array:
     return jnp.where(denom > 0, u / jnp.maximum(denom, 1.0), 0.5)
 
 
-def group_auc(labels, scores, groups) -> float:
-    """gAUC: impression-weighted mean of per-group (e.g. per-user) AUC over
-    groups containing both classes — the standard CTR ranking metric the
-    plain AUC hides (a model can rank across users well but within users
-    badly). Host-side numpy (variable group sizes are hostile to jit; eval
-    runs once per epoch). Tie-aware (average ranks), sklearn-parity tested.
+@jax.jit
+def group_auc_device(
+    labels: jax.Array, scores: jax.Array, group_codes: jax.Array
+) -> jax.Array:
+    """gAUC on device: impression-weighted mean of per-group tie-aware AUC
+    over groups containing both classes, fully vectorized with segment ops
+    (no per-group Python loop — the round-3 host-numpy version walked every
+    group serially, the one metric off-device in an otherwise on-device
+    eval stack).
 
-    Returns 0.5 when no group has both classes (global-AUC fallback parity).
+    The variable group sizes that are "hostile to jit" become one lexsort:
+    stable-argsort by score, then stable-argsort by group, gives rows
+    grouped with scores ascending inside each group. Within-group 1-based
+    positions follow from segment-min of the global position; equal-score
+    runs are rank-averaged via segment-min/max over run ids; the per-group
+    Mann-Whitney U then reduces with segment_sum. ``group_codes`` must be
+    dense int codes in [0, n) (factorize arbitrary keys on host first —
+    :func:`group_auc` does).
+
+    Returns 0.5 when no group has both classes (global-AUC fallback parity,
+    utils.py:23-27 behavior).
     """
+    n = labels.shape[0]
+    f32 = jnp.float32
+    labels = labels.astype(f32)
+    scores = scores.astype(f32)
+    g_in = group_codes.astype(jnp.int32)
+    # lexsort (group major, score minor): jnp.argsort is stable
+    o1 = jnp.argsort(scores)
+    o2 = jnp.argsort(g_in[o1])
+    order = o1[o2]
+    g = g_in[order]
+    l = labels[order]
+    s = scores[order]
+
+    pos = jnp.arange(n, dtype=jnp.int32)
+    one = jnp.ones((1,), jnp.bool_)
+    grp_start = jnp.concatenate([one, g[1:] != g[:-1]])
+    seg = jnp.cumsum(grp_start.astype(jnp.int32)) - 1  # dense per-row group seg
+    seg_first = jax.ops.segment_min(pos, seg, num_segments=n)
+    rank = (pos - seg_first[seg] + 1).astype(f32)  # 1-based within group
+
+    run_start = jnp.concatenate([one, (s[1:] != s[:-1]) | (g[1:] != g[:-1])])
+    run = jnp.cumsum(run_start.astype(jnp.int32)) - 1
+    run_lo = jax.ops.segment_min(rank, run, num_segments=n)
+    run_hi = jax.ops.segment_max(rank, run, num_segments=n)
+    avg_rank = 0.5 * (run_lo + run_hi)[run]  # tie-averaged within-group rank
+
+    ones = jnp.ones_like(l)
+    n_tot = jax.ops.segment_sum(ones, seg, num_segments=n)
+    n_pos = jax.ops.segment_sum(l, seg, num_segments=n)
+    n_neg = n_tot - n_pos
+    u = jax.ops.segment_sum(avg_rank * l, seg, num_segments=n) - n_pos * (
+        n_pos + 1.0
+    ) / 2.0
+    valid = (n_pos > 0) & (n_neg > 0)
+    auc_g = jnp.where(valid, u / jnp.maximum(n_pos * n_neg, 1.0), 0.0)
+    num = jnp.sum(jnp.where(valid, n_tot * auc_g, 0.0))
+    den = jnp.sum(jnp.where(valid, n_tot, 0.0))
+    return jnp.where(den > 0, num / jnp.maximum(den, 1.0), 0.5)
+
+
+def group_auc(labels, scores, groups) -> float:
+    """gAUC over arbitrary group keys: factorize the key column on host
+    (np.unique inverse — the only host step), run
+    :func:`group_auc_device`."""
     import numpy as np
 
-    labels = np.asarray(labels, np.float64)
-    scores = np.asarray(scores, np.float64)
     groups = np.asarray(groups)
-    order = np.argsort(groups, kind="stable")
-    g, l, s = groups[order], labels[order], scores[order]
-    starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]]) if len(g) else np.array([], int)
-    ends = np.r_[starts[1:], len(g)] if len(starts) else np.array([], int)
-
-    def _avg_ranks(a: "np.ndarray") -> "np.ndarray":
-        o = np.argsort(a, kind="mergesort")
-        sa = a[o]
-        ranks = np.empty(len(a))
-        # average rank within runs of equal values
-        boundary = np.flatnonzero(np.r_[True, sa[1:] != sa[:-1], True])
-        for i in range(len(boundary) - 1):
-            lo, hi = boundary[i], boundary[i + 1]
-            ranks[o[lo:hi]] = 0.5 * (lo + 1 + hi)
-        return ranks
-
-    num = 0.0
-    den = 0.0
-    for a, b in zip(starts, ends):
-        li = l[a:b]
-        n_pos = float(li.sum())
-        n_neg = (b - a) - n_pos
-        if n_pos == 0 or n_neg == 0:
-            continue
-        ranks = _avg_ranks(s[a:b])
-        u = float(ranks[li > 0].sum()) - n_pos * (n_pos + 1.0) / 2.0
-        num += (b - a) * (u / (n_pos * n_neg))
-        den += b - a
-    return num / den if den else 0.5
+    if groups.size == 0:
+        return 0.5
+    _, codes = np.unique(groups, return_inverse=True)
+    return float(
+        group_auc_device(
+            jnp.asarray(np.asarray(labels, np.float32)),
+            jnp.asarray(np.asarray(scores, np.float32)),
+            jnp.asarray(codes.astype(np.int32)),
+        )
+    )
 
 
 @jax.jit

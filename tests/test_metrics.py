@@ -96,7 +96,8 @@ def test_group_auc_matches_sklearn_per_group():
         num += m.sum() * roc_auc_score(labels[m], scores[m])
         den += m.sum()
     want = num / den
-    assert abs(got - want) < 1e-9
+    # fp32 device arithmetic (segment sums) vs the fp64 host oracle
+    assert abs(got - want) < 1e-6
 
 
 def test_group_auc_degenerate_groups():
