@@ -35,7 +35,16 @@ def main() -> int:
     p.add_argument("--checkpoint-every", type=int, default=1)
     p.add_argument("--rows", type=int, default=3_072_000 + 615_000 + 100_000)
     p.add_argument("--table-optimizer", default="adam",
-               help="dense | adagrad | rowwise_adagrad | adam (lazy). Lazy adam matches the dense Adam AUC trajectory exactly at this scale; rowwise_adagrad trades ~0.08 AUC for +6% throughput here — see docs/PERFORMANCE.md")
+               help="dense | adagrad | rowwise_adagrad | adam (lazy); all "
+                    "within run variance of each other since the round-4 "
+                    "rss_init=0 fix (training/sparse.py)")
+    p.add_argument("--model", default="mm_fibinet",
+               help="registry name (mm_fibinet | xdeepfm | finalmlp | "
+                    "sasrec_fibinet | ...) — BASELINE.json's named variants")
+    p.add_argument("--signal", choices=("planted", "high"), default="planted",
+               help="'high' = the reference-regime workload (Bayes AUC "
+                    "~0.95); dataset dirs are per-signal, so runs are "
+                    "comparable only within a signal")
     p.add_argument("--root", default=None, help="dataset dir (default: temp)")
     args = p.parse_args()
 
@@ -49,7 +58,10 @@ def main() -> int:
     from ctr_recommendation_tpu.features import build_feature_map
     from ctr_recommendation_tpu.training import Trainer
 
-    root = args.root or os.path.join(tempfile.gettempdir(), "microlens_full_synth")
+    suffix = "" if args.signal == "planted" else f"_{args.signal}"
+    root = args.root or os.path.join(
+        tempfile.gettempdir(), "microlens_full_synth" + suffix
+    )
     if not os.path.exists(os.path.join(root, "train.parquet")):
         print(f"[gen] writing {args.rows} synthetic rows under {root} ...")
         t0 = time.perf_counter()
@@ -62,13 +74,15 @@ def main() -> int:
             max_len=20,
             mm_dim=128,
             seed=2025,
+            signal=args.signal,
         )
         print(f"[gen] done in {time.perf_counter() - t0:.1f}s")
 
     exp = microlens_experiment(
         data_root=root,
+        model=args.model,
         epochs=args.epochs,
-        checkpoint_dir=os.path.join(root, "ckpt"),
+        checkpoint_dir=os.path.join(root, "ckpt_" + args.model),
         table_optimizer=args.table_optimizer,
         checkpoint_every=args.checkpoint_every,
     )
