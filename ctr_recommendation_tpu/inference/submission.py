@@ -7,7 +7,6 @@ Byte-format parity with the reference output (Prediction.py:120-126):
 
 from __future__ import annotations
 
-import csv
 import os
 import zipfile
 
@@ -22,12 +21,27 @@ def write_submission(
 ) -> tuple[str, str]:
     os.makedirs(out_dir, exist_ok=True)
     csv_path = os.path.join(out_dir, csv_name)
-    with open(csv_path, "w", newline="") as f:
-        w = csv.writer(f)
-        w.writerow(["ID", "Task2"])
-        for i, p in enumerate(np.asarray(probs).ravel()):
-            w.writerow([i, float(p)])
+    probs = np.asarray(probs).ravel()
+    try:
+        # the reference's own writer (pandas to_csv, LF endings, shortest
+        # float repr — Prediction.py:120-123) and ~4x faster than a
+        # csv.writer row loop at the 385K-row submission size
+        import pandas as pd
+
+        pd.DataFrame(
+            {"ID": np.arange(len(probs)), "Task2": probs}
+        ).to_csv(csv_path, index=False)
+    except ImportError:  # pandas-free fallback, same CSV content
+        with open(csv_path, "w") as f:
+            f.write("ID,Task2\n")
+            f.writelines(
+                f"{i},{float(p)!r}\n" for i, p in enumerate(probs)
+            )
     zip_path = os.path.join(out_dir, zip_name)
-    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
+    # compresslevel 1: the submission zips ~6x faster for ~10% more bytes;
+    # the reference's default-level zip differs byte-wise anyway (timestamps)
+    with zipfile.ZipFile(
+        zip_path, "w", zipfile.ZIP_DEFLATED, compresslevel=1
+    ) as z:
         z.write(csv_path, arcname=csv_name)
     return csv_path, zip_path
