@@ -90,3 +90,52 @@ def test_chunked_iterator_groups_and_flushes():
     ragged = batches[:2] + [{"a": np.zeros((2,), np.float32)}] + batches[3:5]
     chunks = list(Trainer._chunked(iter(ragged), 3))
     assert [len(c) for c in chunks] == [2, 1, 2]
+
+
+def test_wire_dtype_narrowing(tiny_experiment):
+    """put_chunk's wire plan: binary labels/weights and small-vocab
+    categoricals ride uint8, big-vocab ids stay int32, soft labels stay
+    f32, placeholder columns are dropped, and a later chunk violating the
+    first-chunk plan raises instead of silently wrapping."""
+    tr = Trainer(tiny_experiment, total_steps=4, log_fn=lambda s: None)
+    rng = np.random.default_rng(0)
+    n = 8
+
+    def batch(label):
+        return {
+            "user_id": rng.integers(0, 50, size=n).astype(np.int32),
+            "likes_level": rng.integers(0, 11, size=n).astype(np.int32),
+            "views_level": rng.integers(0, 11, size=n).astype(np.int32),
+            "item_id": rng.integers(1, 200, size=n).astype(np.int32),
+            "item_seq": rng.integers(0, 200, size=(n, 8)).astype(np.int32),
+            "label": label,
+        }
+
+    hard = batch((rng.random(n) < 0.5).astype(np.float32))
+    out = tr.put_chunk([hard, hard])
+    assert "user_id" not in out  # placeholder dropped from the wire
+    assert out["likes_level"].dtype == np.uint8
+    assert out["views_level"].dtype == np.uint8
+    assert out["label"].dtype == np.uint8
+    # the tiny fixture's item vocab (200) also fits uint8; at MicroLens
+    # scale (91718) item_id stays int32. Sequences are never narrowed.
+    assert out["item_id"].dtype == np.uint8
+    assert out["item_seq"].dtype == np.int32
+
+    # a later chunk with soft labels violates the uint8 plan -> hard error
+    soft = batch(rng.random(n).astype(np.float32))
+    with pytest.raises(ValueError, match="label.*wire dtype"):
+        tr.put_chunk([soft, soft])
+
+    # a fresh trainer seeing soft labels FIRST keeps f32 on the wire
+    tr2 = Trainer(
+        tiny_experiment.replace(
+            train=dataclasses.replace(
+                tiny_experiment.train, checkpoint_dir="/tmp/wire_soft"
+            )
+        ),
+        total_steps=4,
+        log_fn=lambda s: None,
+    )
+    out2 = tr2.put_chunk([soft, soft])
+    assert out2["label"].dtype == np.float32
