@@ -38,6 +38,7 @@ def main() -> int:
                help="dense | adagrad | rowwise_adagrad | adam (lazy); all "
                     "within run variance of each other since the round-4 "
                     "rss_init=0 fix (training/sparse.py)")
+    p.add_argument("--table-lr-scale", type=float, default=1.0)
     p.add_argument("--model", default="mm_fibinet",
                help="registry name (mm_fibinet | xdeepfm | finalmlp | "
                     "sasrec_fibinet | ...) — BASELINE.json's named variants")
@@ -84,6 +85,7 @@ def main() -> int:
         epochs=args.epochs,
         checkpoint_dir=os.path.join(root, "ckpt_" + args.model),
         table_optimizer=args.table_optimizer,
+        table_lr_scale=args.table_lr_scale,
         checkpoint_every=args.checkpoint_every,
     )
     fm = build_feature_map(exp.dataset)

@@ -54,6 +54,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="embedding-table update strategy: dense (reference "
                         "semantics) | adagrad | rowwise_adagrad | adam "
                         "(touched-rows-only sparse updates)")
+    p.add_argument("--table-lr-scale", type=float, default=None,
+                   help="lr multiplier for the sparse table optimizer "
+                        "(adagrad-family steps decay ~1/sqrt(touches); "
+                        "~10 tracks the Adam trajectory at full scale)")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=None,
                    help="full-state resume-point cadence in epochs (best "
@@ -91,7 +95,8 @@ def main(argv=None) -> int:
 
     overrides = {}
     for k in ("epochs", "batch_size", "embedding_dim", "embedding_init_std",
-              "learning_rate", "optimizer", "table_optimizer", "checkpoint_dir",
+              "learning_rate", "optimizer", "table_optimizer", "table_lr_scale",
+              "checkpoint_dir",
               "checkpoint_every", "steps_per_dispatch", "rng_impl"):
         v = getattr(args, k)
         if v is not None:

@@ -210,6 +210,13 @@ class TrainConfig:
     # kinds update only the rows a batch touched (training/sparse.py) —
     # O(batch ids) instead of O(vocab) HBM traffic per step.
     table_optimizer: str = "dense"  # | "adagrad" | "rowwise_adagrad" | "adam"
+    # lr multiplier for the table optimizer's schedule (sparse kinds only).
+    # Adagrad-family steps decay ~1/sqrt(touches), so at production touch
+    # counts the tables learn slower than the Adam-driven dense params on a
+    # shared lr; the standard remedy (TPU embedding-optimizer practice) is a
+    # higher embedding lr. Measured full-scale: rowwise_adagrad matches the
+    # lazy-adam AUC trajectory at scale ~10 (docs/PERFORMANCE.md).
+    table_lr_scale: float = 1.0
     learning_rate: float = 1e-3
     weight_decay: float = 1e-5
     # OneCycleLR max_lr = onecycle_peak_factor * learning_rate
@@ -352,6 +359,7 @@ def train_config_from_dict(d: Mapping[str, Any]) -> TrainConfig:
         epochs=int(d.get("epochs", base.epochs)),
         optimizer=str(d.get("optimizer", base.optimizer)).lower(),
         table_optimizer=str(d.get("table_optimizer", base.table_optimizer)).lower(),
+        table_lr_scale=float(d.get("table_lr_scale", base.table_lr_scale)),
         learning_rate=float(d.get("learning_rate", base.learning_rate)),
         weight_decay=float(d.get("weight_decay", base.weight_decay)),
         lr_schedule=str(d.get("lr_schedule", base.lr_schedule)).lower(),

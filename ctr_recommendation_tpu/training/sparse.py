@@ -269,6 +269,13 @@ def make_table_optimizer(cfg: TrainConfig, schedule) -> TableOptimizer | None:
             f"unknown table_optimizer {cfg.table_optimizer!r}; "
             f"expected 'dense' or one of {TABLE_OPTIMIZERS}"
         )
+    scale = cfg.table_lr_scale
+    if scale != 1.0:
+        # schedule shape (OneCycle warmup/anneal) preserved, amplitude
+        # scaled — the adagrad family's 1/sqrt(touches) step decay needs a
+        # higher embedding lr to track Adam's trajectory (schema.py note)
+        base = schedule
+        schedule = lambda step: scale * base(step)  # noqa: E731
     return TableOptimizer(
         kind=cfg.table_optimizer,
         schedule=schedule,
