@@ -444,20 +444,28 @@ class Trainer:
                         rng: jax.Array):
             def body(st, batch):
                 # undo the wire narrowing (put_chunk/_wire_dtype): uint8
-                # label/weight -> f32, uint8 categoricals -> int32 — a free
-                # fused cast on device, vs 4x the bytes through the relay
-                batch = {
-                    k: (
-                        v.astype(
+                # label/weight -> f32, uint8/uint16 categoricals -> int32,
+                # and 24-bit split ids (lo16 + hi8) recombined — free fused
+                # casts on device, vs up to 4x the bytes through the relay
+                wide = {}
+                for k, v in batch.items():
+                    if k.endswith("__hi8"):
+                        continue  # consumed with its __lo16 partner
+                    if k.endswith("__lo16"):
+                        base = k[: -len("__lo16")]
+                        hi = batch[base + "__hi8"]
+                        wide[base] = v.astype(jnp.int32) | (
+                            hi.astype(jnp.int32) << 16
+                        )
+                    elif v.dtype in (jnp.uint8, jnp.uint16):
+                        wide[k] = v.astype(
                             jnp.float32
                             if k in (self.fm.label, "__weight__")
                             else jnp.int32
                         )
-                        if v.dtype == jnp.uint8
-                        else v
-                    )
-                    for k, v in batch.items()
-                }
+                    else:
+                        wide[k] = v
+                batch = wide
                 if dp > 1:
                     batch = {
                         k: jax.lax.with_sharding_constraint(
@@ -475,17 +483,23 @@ class Trainer:
 
         return train_chunk
 
-    def _wire_dtype(self, key: str, first: np.ndarray) -> np.dtype | None:
-        """Narrowest safe wire dtype for a streamed column, decided ONCE on
-        the first chunk (a per-chunk choice would retrace the jitted scan).
+    def _wire_dtype(self, key: str, first: np.ndarray):
+        """Narrowest safe wire encoding for a streamed column, decided ONCE
+        on the first chunk (a per-chunk choice would retrace the jitted
+        scan). Returns a numpy dtype, the string ``"split24"`` (ship as
+        uint16 low half + uint8 high byte, 3 B/element), or None (int32/f32
+        as-is).
 
         The streaming path is H2D-bandwidth-bound through this
         environment's relay (docs/PERFORMANCE.md round-3 decomposition:
         2.25 s compute + ~1.95 s serialized upload per 3.07M-row epoch), so
         every wire byte is wall-clock: binary labels/weights ride as uint8
-        (4x), small-vocab categoricals (likes/views: vocab 11) as uint8.
-        The chunk scan body upcasts on device before the step, so training
-        numerics are bit-identical (tests/test_chunked_fit.py)."""
+        (4x), small-vocab categoricals (likes/views: vocab 11) as uint8,
+        and id columns whose vocab fits 24 bits — item_id and item_seq at
+        MicroLens scale (vocab 91718), the dominant 84 of ~94 wire
+        bytes/row — as split24 (4 -> 3 B/element). The chunk scan body
+        recombines/upcasts on device before the step, so training numerics
+        are bit-identical (tests/test_chunked_fit.py)."""
         from ctr_recommendation_tpu.config.schema import FeatureType
 
         if key in (self.fm.label, "__weight__"):
@@ -497,11 +511,21 @@ class Trainer:
                 return np.dtype(np.uint8)
             return None
         for f in self.fm.features:
-            if f.name != key or f.type != FeatureType.CATEGORICAL:
+            if f.name != key or f.type not in (
+                FeatureType.CATEGORICAL, FeatureType.SEQUENCE
+            ):
                 continue
             t = self.fm.table(self.fm.table_of[f.name])
-            if not t.hashed and t.vocab_size <= 256 and first.min() >= 0:
+            if t.hashed or first.min() < 0:
+                # hashed ids are raw (possibly huge/negative) until the
+                # on-device apply_hashing — never narrow them
+                return None
+            if t.vocab_size <= 1 << 8:
                 return np.dtype(np.uint8)
+            if t.vocab_size <= 1 << 16:
+                return np.dtype(np.uint16)
+            if t.vocab_size <= 1 << 24:
+                return "split24"
         return None
 
     def put_chunk(self, buf: list[dict[str, np.ndarray]]) -> dict[str, jax.Array]:
@@ -526,6 +550,17 @@ class Trainer:
             }
         for k, dt in self._wire_plan.items():
             v = stacked[k]
+            if dt == "split24":
+                if v.min() < 0 or (v >> 24).any():
+                    raise ValueError(
+                        f"streamed column {k!r} no longer fits the 24-bit "
+                        "split wire encoding chosen from the first chunk; "
+                        "restart training so the plan is re-derived"
+                    )
+                stacked[k + "__lo16"] = (v & 0xFFFF).astype(np.uint16)
+                stacked[k + "__hi8"] = (v >> 16).astype(np.uint8)
+                del stacked[k]
+                continue
             w = v.astype(dt)
             if v.dtype != dt and not np.array_equal(w, v):
                 raise ValueError(

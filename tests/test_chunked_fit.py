@@ -117,10 +117,11 @@ def test_wire_dtype_narrowing(tiny_experiment):
     assert out["likes_level"].dtype == np.uint8
     assert out["views_level"].dtype == np.uint8
     assert out["label"].dtype == np.uint8
-    # the tiny fixture's item vocab (200) also fits uint8; at MicroLens
-    # scale (91718) item_id stays int32. Sequences are never narrowed.
+    # the tiny fixture's item vocab (200) fits uint8 for both the
+    # categorical id and the sequence; at MicroLens scale (91718) they
+    # ride the 24-bit split encoding instead (test below)
     assert out["item_id"].dtype == np.uint8
-    assert out["item_seq"].dtype == np.int32
+    assert out["item_seq"].dtype == np.uint8
 
     # a later chunk with soft labels violates the uint8 plan -> hard error
     soft = batch(rng.random(n).astype(np.float32))
@@ -139,3 +140,109 @@ def test_wire_dtype_narrowing(tiny_experiment):
     )
     out2 = tr2.put_chunk([soft, soft])
     assert out2["label"].dtype == np.float32
+
+
+def _mid_vocab_experiment(tiny_experiment, item_vocab, ckpt):
+    from ctr_recommendation_tpu.config.loader import microlens_features
+
+    ds = dataclasses.replace(
+        tiny_experiment.dataset,
+        features=microlens_features(
+            item_vocab=item_vocab, cate_vocab=11, max_len=8, mm_dim=24
+        ),
+    )
+    return tiny_experiment.replace(
+        dataset=ds,
+        train=dataclasses.replace(tiny_experiment.train, checkpoint_dir=ckpt),
+    )
+
+
+def test_wire_split24_roundtrip(tiny_experiment, tmp_path):
+    """MicroLens-scale id columns (256 < vocab <= 2^24) ride the wire as
+    uint16 low + uint8 high (3 B/element) and reconstruct exactly; a
+    mid-vocab (<= 2^16) table rides plain uint16; out-of-range later chunks
+    raise instead of silently wrapping."""
+    exp = _mid_vocab_experiment(tiny_experiment, 70_000, str(tmp_path / "ck"))
+    tr = Trainer(exp, total_steps=4, log_fn=lambda s: None)
+    rng = np.random.default_rng(1)
+    n = 8
+
+    def batch(hi):
+        return {
+            "user_id": rng.integers(0, 50, size=n).astype(np.int32),
+            "likes_level": rng.integers(0, 11, size=n).astype(np.int32),
+            "views_level": rng.integers(0, 11, size=n).astype(np.int32),
+            "item_id": rng.integers(1, hi, size=n).astype(np.int32),
+            "item_seq": rng.integers(0, hi, size=(n, 8)).astype(np.int32),
+            "label": (rng.random(n) < 0.5).astype(np.float32),
+        }
+
+    b = batch(70_000)
+    out = tr.put_chunk([b, b])
+    for col in ("item_id", "item_seq"):
+        assert col not in out
+        lo = np.asarray(out[col + "__lo16"])
+        hi = np.asarray(out[col + "__hi8"])
+        assert lo.dtype == np.uint16 and hi.dtype == np.uint8
+        recon = lo.astype(np.int64) | (hi.astype(np.int64) << 16)
+        np.testing.assert_array_equal(recon, np.stack([b[col], b[col]]))
+
+    # id outside 24 bits on a later chunk -> hard error, not silent wrap
+    bad = batch(70_000)
+    bad["item_seq"][0, 0] = 1 << 24
+    with pytest.raises(ValueError, match="item_seq.*24-bit"):
+        tr.put_chunk([bad, bad])
+
+    # 256 < vocab <= 2^16 rides plain uint16
+    exp16 = _mid_vocab_experiment(tiny_experiment, 30_000, str(tmp_path / "ck16"))
+    tr16 = Trainer(exp16, total_steps=4, log_fn=lambda s: None)
+    b16 = batch(30_000)
+    out16 = tr16.put_chunk([b16, b16])
+    assert out16["item_id"].dtype == np.uint16
+    assert out16["item_seq"].dtype == np.uint16
+
+
+def test_wire_split24_fit_parity(tiny_experiment, tmp_path):
+    """End-to-end: a chunked fit with the split24 wire encoding reproduces
+    the un-narrowed (int32-wire) trajectory exactly — the device-side
+    recombination in the chunk scan is lossless."""
+    root = str(tmp_path)
+    paths = write_synthetic_dataset(
+        root, num_rows=600, num_items=70_000, max_len=8, mm_dim=24, seed=9
+    )
+
+    def run(tag, disable_narrowing):
+        exp = _mid_vocab_experiment(tiny_experiment, 70_001, f"{root}/ck_{tag}")
+        exp = exp.replace(
+            train=dataclasses.replace(
+                exp.train, batch_size=64, epochs=1, steps_per_dispatch=3,
+                checkpoint_dir=f"{root}/ck_{tag}",
+            )
+        )
+        fm = build_feature_map(exp.dataset)
+        train = load_split(paths["train"], fm)
+        store = ItemStore.from_parquet(paths["item_info"])
+        steps = train.num_rows // 64
+        tr = Trainer(exp, steps_per_epoch=steps, item_store=store,
+                     log_fn=lambda s: None)
+        if disable_narrowing:
+            tr._wire_plan = {}  # force full-width wire
+        hist = tr.fit(
+            lambda epoch: iter_batches(
+                train, fm, 64, shuffle=True, seed=exp.train.seed,
+                epoch=epoch, drop_last=True,
+            )
+        )
+        return hist, tr.state
+
+    hist_n, state_n = run("narrow", False)
+    hist_w, state_w = run("wide", True)
+    for hn, hw in zip(hist_n, hist_w):
+        np.testing.assert_allclose(hn["train_loss"], hw["train_loss"],
+                                   rtol=1e-6, atol=1e-7)
+    import jax
+
+    for a, b in zip(jax.tree.leaves(state_n.params),
+                    jax.tree.leaves(state_w.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
