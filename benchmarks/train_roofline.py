@@ -130,56 +130,71 @@ def main() -> int:
     jax.profiler.stop_trace()
 
     events = load_events(trace_dir)
-    device_pids = set()
-    for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            pname = str(e.get("args", {}).get("name", ""))
-            if any(k in pname for k in ("TPU", "GPU", "/device:", "XLA")):
-                device_pids.add(e.get("pid"))
+    # Keep only LEAF device ops: XProf tags real HLO ops with an
+    # ``hlo_category`` arg; container spans (the jit module, while loops,
+    # the "0" track) lack it and would double-count their children. The
+    # while loop itself is kept out of the totals but reported as the
+    # authoritative per-step device time.
     by_name: dict[str, float] = collections.defaultdict(float)
     calls: dict[str, int] = collections.defaultdict(int)
+    meta: dict[str, tuple] = {}
     total_us = 0.0
+    loop_us = 0.0
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
             continue
-        if device_pids and e.get("pid") not in device_pids:
+        a = e.get("args", {})
+        cat = a.get("hlo_category")
+        if cat is None:
             continue
         name = e.get("name", "?")
-        if name.startswith(("$", "process_", "thread_")):
+        if cat == "while" or name.startswith("while"):
+            loop_us += float(e["dur"])
             continue
         by_name[name] += float(e["dur"])
         calls[name] += 1
+        meta[name] = (
+            str(cat),
+            str(a.get("source", ""))[-60:],
+            str(a.get("long_name", ""))[:120],
+        )
         total_us += float(e["dur"])
 
     rows = []
     by_class: dict[str, float] = collections.defaultdict(float)
     for name, dur in sorted(by_name.items(), key=lambda kv: -kv[1]):
-        cls = classify(name)
+        cat, source, long_name = meta[name]
+        cls = classify(name + " " + cat + " " + long_name)
         by_class[cls] += dur
         rows.append({
             "op": name,
             "class": cls,
+            "hlo_category": cat,
+            "source": source,
+            "long_name": long_name,
             "us_per_step": dur / args.steps,
             "pct_of_device": 100.0 * dur / max(total_us, 1e-9),
             "calls_per_step": calls[name] / args.steps,
         })
 
     device_step_us = total_us / args.steps
+    loop_step_us = loop_us / args.steps
     print(
         f"[roofline] table_optimizer={args.table_optimizer} bs="
         f"{args.batch_size} steps={args.steps}"
     )
     print(
         f"[roofline] wall {wall_step_us:.0f} us/step "
-        f"({n_rows / wall_epoch_s:,.0f} ex/s); device-op sum "
-        f"{device_step_us:.0f} us/step "
-        f"({100 * device_step_us / wall_step_us:.0f}% of wall)"
+        f"({n_rows / wall_epoch_s:,.0f} ex/s); while-loop span "
+        f"{loop_step_us:.0f} us/step; leaf-op sum {device_step_us:.0f} "
+        f"us/step ({100 * device_step_us / wall_step_us:.0f}% of wall)"
     )
     print(f"{'us/step':>9} {'%dev':>6} {'calls':>6}  class / op")
     for r in rows[: args.top]:
         print(
             f"{r['us_per_step']:9.1f} {r['pct_of_device']:6.2f} "
-            f"{r['calls_per_step']:6.1f}  [{r['class']}] {r['op'][:80]}"
+            f"{r['calls_per_step']:6.1f}  [{r['class']}] {r['op'][:40]} "
+            f"{r['source'][-45:]}"
         )
     print("\nper-class totals:")
     for cls, dur in sorted(by_class.items(), key=lambda kv: -kv[1]):
@@ -197,6 +212,7 @@ def main() -> int:
                 "backend": jax.default_backend(),
             },
             "wall_us_per_step": wall_step_us,
+            "while_us_per_step": loop_step_us,
             "device_us_per_step": device_step_us,
             "examples_per_sec": n_rows / wall_epoch_s,
             "ops": rows[:50],

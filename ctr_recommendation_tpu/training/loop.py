@@ -314,12 +314,70 @@ class Trainer:
         # stream_gather per table was tried and measured SLOWER in context —
         # 825K vs 1.044M ex/s — the in-loop scatter is already well fused;
         # see docs/PERFORMANCE.md.)
+        #
+        # Masked tables shared by >1 feature (item table: item_id +
+        # item_seq) route their lookups through
+        # sparse_lib.multi_feature_lookup: per-feature forward gathers (the
+        # fast layouts XLA already picks) whose custom_vjp backward emits
+        # ONE merged scatter-add per table instead of one per feature
+        # (round-4 roofline: split scatters 815 + 300 us of the 2746 us
+        # step; merged ~785 us at the ~10 ns/row v5e scatter dispatch
+        # floor; a flat-gather variant that merged the FORWARD too was
+        # measured 6x slower on the gather side and rejected). Sequence ids
+        # ride in the trunk's transposed (S, B) gather order; the raw id
+        # features are untouched (the trunk reads them as the pad mask).
+        # The in-loss lookup matches callers to cached embeddings by
+        # ids.shape, so square (S == B) sequences — where the layouts are
+        # indistinguishable — keep the default per-feature path.
+        multi: dict[str, list[tuple[str, jax.Array]]] = {}
+        if getattr(self, "_fuse_table_gather", True):
+            for t in masked:
+                fs = [
+                    f
+                    for f in fm.features
+                    if f.type in (FeatureType.CATEGORICAL, FeatureType.SEQUENCE)
+                    and f.name in feats
+                    and fm.table_of[f.name] == t
+                ]
+                if len(fs) < 2 or any(
+                    f.type == FeatureType.SEQUENCE
+                    and feats[f.name].shape[0] == feats[f.name].shape[1]
+                    for f in fs
+                ):
+                    continue
+                multi[t] = [
+                    (
+                        f.name,
+                        feats[f.name].astype(jnp.int32).T
+                        if f.type == FeatureType.SEQUENCE
+                        else feats[f.name].astype(jnp.int32),
+                    )
+                    for f in fs
+                ]
 
         def loss_fn(params, rows):
+            tbls_in = params["trunk"]["tables"]
+            # merged-backward lookups for multi-feature masked tables
+            emb_cache: dict[str, tuple[tuple, jax.Array]] = {}
+            for t, segs in multi.items():
+                outs = sparse_lib.multi_feature_lookup(
+                    tbls_in[t], *[ids for _, ids in segs]
+                )
+                for (fname, ids), o in zip(segs, outs):
+                    emb_cache[fname] = (tuple(ids.shape), o)
+
             def lookup(tbls, name, ids, feature=None, batch_dim=0):
                 # gathered tables read the row buffer (grads flow to `rows`)
                 if name in rows:
                     return rows[name][ids]
+                if feature in emb_cache:
+                    canon, o = emb_cache[feature]
+                    if tuple(ids.shape) == canon:
+                        return o
+                    if ids.ndim == 2 and tuple(ids.shape) == canon[::-1]:
+                        return o.transpose(1, 0, 2)
+                    # unexpected access pattern: fall back to the direct
+                    # per-feature gather (correct, just a second scatter)
                 return tbls[name][ids]
 
             logits, new_mstate = module.apply(

@@ -246,6 +246,44 @@ class TableOptimizer:
         return new_tables, new_state
 
 
+def multi_feature_lookup(table: jax.Array, *ids: jax.Array):
+    """Per-feature gathers from one table whose BACKWARD is a single merged
+    scatter-add.
+
+    Forward: one plain ``table[ids_k]`` per feature — the layouts XLA
+    already gathers at ~300 GB/s (the caller passes sequence ids in the
+    trunk's transposed (S, B) order). Backward: concatenate the cotangents
+    (row-major per segment, matching ``ids_k.reshape(-1)``) and emit ONE
+    scatter-add into a zeros table. TPU v5e dispatches scatters at a flat
+    ~10 ns/row regardless of payload (docs/PERFORMANCE.md round-3 scatter
+    study), so N features sharing a table cost one scatter's dispatch
+    instead of N — the round-4 roofline measured the split scatters at
+    815 + 300 us/step vs ~785 us merged at MicroLens shapes (item_id +
+    item_seq, 86016 rows). The cotangent concatenate fuses into the
+    scatter's operand read. Integer id cotangents are None (ids are
+    non-differentiable)."""
+
+    tshape, tdtype = table.shape, table.dtype  # static; legal in bwd
+
+    @jax.custom_vjp
+    def f(table, *ids):
+        return tuple(table[i] for i in ids)
+
+    def fwd(table, *ids):
+        return f(table, *ids), ids
+
+    def bwd(ids_res, cots):
+        flat_ids = jnp.concatenate([i.reshape(-1) for i in ids_res])
+        flat_cot = jnp.concatenate(
+            [c.reshape(-1, c.shape[-1]).astype(tdtype) for c in cots]
+        )
+        dtable = jnp.zeros(tshape, tdtype).at[flat_ids].add(flat_cot)
+        return (dtable,) + (None,) * len(ids_res)
+
+    f.defvjp(fwd, bwd)
+    return f(table, *ids)
+
+
 # Per-table execution strategy: the gathered-rows path pays a dedup sort and
 # ~3 extra large scatter/gathers, which only amortize when the table is much
 # larger than the batch's id count. Below this vocab/ids ratio the

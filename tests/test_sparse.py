@@ -229,6 +229,35 @@ def test_trainer_sparse_matches_dense_end_to_end(tiny_experiment):
     )
 
 
+def test_fused_table_gather_matches_per_feature(tiny_experiment):
+    """The concatenated one-gather-per-masked-table path (item_id +
+    item_seq share the item table; loop.py seg_info) must reproduce the
+    per-feature-gather trajectory exactly — same grads into the table, same
+    clip, same masked-dense update — for both a rowwise and an adam table
+    optimizer."""
+    rng = np.random.default_rng(11)
+    batches = [_labeled(make_batch(rng, 64), rng) for _ in range(4)]
+
+    for table_opt in ("rowwise_adagrad", "adam"):
+        results = []
+        for fused in (True, False):
+            exp = _sparse_exp(tiny_experiment, table_opt)
+            tr = Trainer(exp, total_steps=10, log_fn=lambda s: None)
+            tr._fuse_table_gather = fused
+            key = jax.random.key(0)
+            losses = []
+            for b in batches:
+                tr.state, m = tr._train_step(tr.state, tr.put_batch(b), key)
+                losses.append(float(m["loss"]))
+            results.append((losses, jax.tree.map(np.asarray, tr.state.params)))
+        np.testing.assert_allclose(results[0][0], results[1][0],
+                                   rtol=1e-6, atol=1e-7)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+            results[0][1], results[1][1],
+        )
+
+
 def test_trainer_sparse_mp_sharded_runs(tiny_experiment):
     """Sparse tables + model-parallel row sharding (GSPMD handles the
     dedup/gather/scatter on the sharded table): step runs, loss finite,
