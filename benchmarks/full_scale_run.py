@@ -38,7 +38,9 @@ def main() -> int:
                help="dense | adagrad | rowwise_adagrad | adam (lazy); all "
                     "within run variance of each other since the round-4 "
                     "rss_init=0 fix (training/sparse.py)")
-    p.add_argument("--table-lr-scale", type=float, default=1.0)
+    p.add_argument("--table-lr-scale", type=float, default=None,
+               help="lr multiplier for the sparse table optimizer; default "
+                    "resolves per family (10.0 for the adagrad kinds)")
     p.add_argument("--model", default="mm_fibinet",
                help="registry name (mm_fibinet | xdeepfm | finalmlp | "
                     "sasrec_fibinet | ...) — BASELINE.json's named variants")

@@ -214,9 +214,14 @@ class TrainConfig:
     # Adagrad-family steps decay ~1/sqrt(touches), so at production touch
     # counts the tables learn slower than the Adam-driven dense params on a
     # shared lr; the standard remedy (TPU embedding-optimizer practice) is a
-    # higher embedding lr. Measured full-scale: rowwise_adagrad matches the
-    # lazy-adam AUC trajectory at scale ~10 (docs/PERFORMANCE.md).
-    table_lr_scale: float = 1.0
+    # higher embedding lr. None resolves per family via
+    # resolved_table_lr_scale(): 10.0 for adagrad/rowwise_adagrad, 1.0
+    # otherwise — measured round 4 (docs/PERFORMANCE.md): at full MicroLens
+    # scale rowwise_adagrad at shared lr plateaus at AUC 0.699 (the dense
+    # tower learning alone) while scale 10 matches lazy adam (0.7742 vs
+    # 0.7763) and also improves the sparse-impressions regime (0.6968 vs
+    # 0.6896).
+    table_lr_scale: float | None = None
     learning_rate: float = 1e-3
     weight_decay: float = 1e-5
     # OneCycleLR max_lr = onecycle_peak_factor * learning_rate
@@ -269,6 +274,17 @@ class TrainConfig:
     # realization changes, statistics are identical). Param INIT always
     # uses threefry so initial weights stay bit-identical either way.
     rng_impl: str = "threefry"
+
+    def resolved_table_lr_scale(self) -> float:
+        """table_lr_scale with the adagrad-family default applied (see the
+        field comment)."""
+        if self.table_lr_scale is not None:
+            return self.table_lr_scale
+        return (
+            10.0
+            if self.table_optimizer in ("adagrad", "rowwise_adagrad")
+            else 1.0
+        )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -359,7 +375,11 @@ def train_config_from_dict(d: Mapping[str, Any]) -> TrainConfig:
         epochs=int(d.get("epochs", base.epochs)),
         optimizer=str(d.get("optimizer", base.optimizer)).lower(),
         table_optimizer=str(d.get("table_optimizer", base.table_optimizer)).lower(),
-        table_lr_scale=float(d.get("table_lr_scale", base.table_lr_scale)),
+        table_lr_scale=(
+            None
+            if (_tls := d.get("table_lr_scale", base.table_lr_scale)) is None
+            else float(_tls)
+        ),
         learning_rate=float(d.get("learning_rate", base.learning_rate)),
         weight_decay=float(d.get("weight_decay", base.weight_decay)),
         lr_schedule=str(d.get("lr_schedule", base.lr_schedule)).lower(),

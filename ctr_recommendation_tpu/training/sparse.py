@@ -307,7 +307,7 @@ def make_table_optimizer(cfg: TrainConfig, schedule) -> TableOptimizer | None:
             f"unknown table_optimizer {cfg.table_optimizer!r}; "
             f"expected 'dense' or one of {TABLE_OPTIMIZERS}"
         )
-    scale = cfg.table_lr_scale
+    scale = cfg.resolved_table_lr_scale()
     if scale != 1.0:
         # schedule shape (OneCycle warmup/anneal) preserved, amplitude
         # scaled — the adagrad family's 1/sqrt(touches) step decay needs a
