@@ -228,6 +228,90 @@ class Trainer:
     def _eval_step(self, params, model_state, batch):
         return self._eval_step_fn(params, model_state, self._mm_tables, batch)
 
+    def _multi_feature_plan(
+        self, feats: dict, only: list[str] | None = None
+    ) -> dict[str, list[tuple[str, jax.Array]]]:
+        """Tables read by >1 feature (item table: item_id + item_seq),
+        with each feature's ids in the layout the trunk will request —
+        sequences in the transposed (S, B) gather order. These route
+        through sparse_lib.multi_feature_lookup: per-feature forward
+        gathers (the fast layouts XLA already picks) whose custom_vjp
+        backward emits ONE merged scatter-add per table instead of one per
+        feature (round-4 roofline: split scatters 815 + 300 us of the
+        2746 us step; merged ~785 us at the ~10 ns/row v5e scatter
+        dispatch floor; a flat-gather variant that merged the FORWARD too
+        was measured 6x slower on the gather side and rejected). The raw
+        id features are untouched (the trunk reads them as the pad mask);
+        _merged_lookup matches callers to cached embeddings by ids.shape,
+        so square (S == B) sequences — where the layouts are
+        indistinguishable — keep the default per-feature path."""
+        from ctr_recommendation_tpu.config.schema import FeatureType
+
+        fm = self.fm
+        multi: dict[str, list[tuple[str, jax.Array]]] = {}
+        if not getattr(self, "_fuse_table_gather", True):
+            return multi
+        tables = set(only) if only is not None else {
+            fm.table_of[f.name]
+            for f in fm.features
+            if f.type in (FeatureType.CATEGORICAL, FeatureType.SEQUENCE)
+        }
+        for t in sorted(tables):
+            fs = [
+                f
+                for f in fm.features
+                if f.type in (FeatureType.CATEGORICAL, FeatureType.SEQUENCE)
+                and f.name in feats
+                and fm.table_of[f.name] == t
+            ]
+            if len(fs) < 2 or any(
+                f.type == FeatureType.SEQUENCE
+                and feats[f.name].shape[0] == feats[f.name].shape[1]
+                for f in fs
+            ):
+                continue
+            multi[t] = [
+                (
+                    f.name,
+                    feats[f.name].astype(jnp.int32).T
+                    if f.type == FeatureType.SEQUENCE
+                    else feats[f.name].astype(jnp.int32),
+                )
+                for f in fs
+            ]
+        return multi
+
+    @staticmethod
+    def _merged_lookup(tbls_in: dict, rows: dict, multi: dict):
+        """The in-loss lookup closure: row buffers for gathered tables,
+        merged-backward cached embeddings for _multi_feature_plan tables,
+        plain per-feature gather otherwise."""
+        from ctr_recommendation_tpu.training import sparse as sparse_lib
+
+        emb_cache: dict[str, tuple[tuple, jax.Array]] = {}
+        for t, segs in multi.items():
+            outs = sparse_lib.multi_feature_lookup(
+                tbls_in[t], *[ids for _, ids in segs]
+            )
+            for (fname, ids), o in zip(segs, outs):
+                emb_cache[fname] = (tuple(ids.shape), o)
+
+        def lookup(tbls, name, ids, feature=None, batch_dim=0):
+            # gathered tables read the row buffer (grads flow to `rows`)
+            if name in rows:
+                return rows[name][ids]
+            if feature in emb_cache:
+                canon, o = emb_cache[feature]
+                if tuple(ids.shape) == canon:
+                    return o
+                if ids.ndim == 2 and tuple(ids.shape) == canon[::-1]:
+                    return o.transpose(1, 0, 2)
+                # unexpected access pattern: fall back to the direct
+                # per-feature gather (correct, just a second scatter)
+            return tbls[name][ids]
+
+        return lookup
+
     def _step_impl(self, state: TrainState, batch: dict, mm_tables: dict, rng):
         """One optimizer step (pure; shared by the per-batch jit and the
         on-device epoch scan)."""
@@ -241,11 +325,22 @@ class Trainer:
         if self.table_opt is not None:
             return self._sparse_step_impl(state, feats, labels, weight, step_rng)
 
+        # Merged-backward lookups apply to the dense path too (one
+        # scatter-add per multi-feature table instead of one per feature —
+        # see _multi_feature_plan), but never when a distributed lookup was
+        # injected (parallel/embedding.py owns those gathers).
+        multi = self._multi_feature_plan(feats) if self.lookup is None else {}
+
         def loss_fn(params):
+            lookup = self.lookup
+            if multi:
+                lookup = self._merged_lookup(
+                    params["trunk"]["tables"], {}, multi
+                )
             logits, new_mstate = module.apply(
                 params, state.model_state, fm, cfg, feats,
                 train=True, rng=step_rng, compute_dtype=self._compute_dtype,
-                lookup=self.lookup, weight=weight,
+                lookup=lookup, weight=weight,
             )
             return bce_with_logits(logits, labels, weight), new_mstate
 
@@ -316,70 +411,15 @@ class Trainer:
         # see docs/PERFORMANCE.md.)
         #
         # Masked tables shared by >1 feature (item table: item_id +
-        # item_seq) route their lookups through
-        # sparse_lib.multi_feature_lookup: per-feature forward gathers (the
-        # fast layouts XLA already picks) whose custom_vjp backward emits
-        # ONE merged scatter-add per table instead of one per feature
-        # (round-4 roofline: split scatters 815 + 300 us of the 2746 us
-        # step; merged ~785 us at the ~10 ns/row v5e scatter dispatch
-        # floor; a flat-gather variant that merged the FORWARD too was
-        # measured 6x slower on the gather side and rejected). Sequence ids
-        # ride in the trunk's transposed (S, B) gather order; the raw id
-        # features are untouched (the trunk reads them as the pad mask).
-        # The in-loss lookup matches callers to cached embeddings by
-        # ids.shape, so square (S == B) sequences — where the layouts are
-        # indistinguishable — keep the default per-feature path.
-        multi: dict[str, list[tuple[str, jax.Array]]] = {}
-        if getattr(self, "_fuse_table_gather", True):
-            for t in masked:
-                fs = [
-                    f
-                    for f in fm.features
-                    if f.type in (FeatureType.CATEGORICAL, FeatureType.SEQUENCE)
-                    and f.name in feats
-                    and fm.table_of[f.name] == t
-                ]
-                if len(fs) < 2 or any(
-                    f.type == FeatureType.SEQUENCE
-                    and feats[f.name].shape[0] == feats[f.name].shape[1]
-                    for f in fs
-                ):
-                    continue
-                multi[t] = [
-                    (
-                        f.name,
-                        feats[f.name].astype(jnp.int32).T
-                        if f.type == FeatureType.SEQUENCE
-                        else feats[f.name].astype(jnp.int32),
-                    )
-                    for f in fs
-                ]
+        # item_seq) route their lookups through the merged-backward plan
+        # (see _multi_feature_plan); gathered tables keep the row-buffer
+        # path.
+        multi = self._multi_feature_plan(feats, only=masked)
 
         def loss_fn(params, rows):
-            tbls_in = params["trunk"]["tables"]
-            # merged-backward lookups for multi-feature masked tables
-            emb_cache: dict[str, tuple[tuple, jax.Array]] = {}
-            for t, segs in multi.items():
-                outs = sparse_lib.multi_feature_lookup(
-                    tbls_in[t], *[ids for _, ids in segs]
-                )
-                for (fname, ids), o in zip(segs, outs):
-                    emb_cache[fname] = (tuple(ids.shape), o)
-
-            def lookup(tbls, name, ids, feature=None, batch_dim=0):
-                # gathered tables read the row buffer (grads flow to `rows`)
-                if name in rows:
-                    return rows[name][ids]
-                if feature in emb_cache:
-                    canon, o = emb_cache[feature]
-                    if tuple(ids.shape) == canon:
-                        return o
-                    if ids.ndim == 2 and tuple(ids.shape) == canon[::-1]:
-                        return o.transpose(1, 0, 2)
-                    # unexpected access pattern: fall back to the direct
-                    # per-feature gather (correct, just a second scatter)
-                return tbls[name][ids]
-
+            lookup = self._merged_lookup(
+                params["trunk"]["tables"], rows, multi
+            )
             logits, new_mstate = module.apply(
                 params, state.model_state, fm, cfg, feats,
                 train=True, rng=step_rng, compute_dtype=self._compute_dtype,

@@ -257,15 +257,15 @@ def test_table_lr_scale_family_default():
 
 
 def test_fused_table_gather_matches_per_feature(tiny_experiment):
-    """The concatenated one-gather-per-masked-table path (item_id +
-    item_seq share the item table; loop.py seg_info) must reproduce the
-    per-feature-gather trajectory exactly — same grads into the table, same
-    clip, same masked-dense update — for both a rowwise and an adam table
-    optimizer."""
+    """The merged-backward path (item_id + item_seq share the item table;
+    loop.py _multi_feature_plan) must reproduce the per-feature-gather
+    trajectory exactly — same grads into the table, same clip, same
+    update — for the sparse table optimizers AND the dense optax chain
+    (the default config trains through the dense path)."""
     rng = np.random.default_rng(11)
     batches = [_labeled(make_batch(rng, 64), rng) for _ in range(4)]
 
-    for table_opt in ("rowwise_adagrad", "adam"):
+    for table_opt in ("rowwise_adagrad", "adam", "dense"):
         results = []
         for fused in (True, False):
             exp = _sparse_exp(tiny_experiment, table_opt)
