@@ -76,16 +76,13 @@ def main() -> int:
     from benchmarks.analyze_trace import load_events
 
     on_tpu = jax.default_backend() == "tpu"
-    table_opt = (
-        None if args.table_optimizer == "dense" else args.table_optimizer
-    )
     exp = microlens_experiment(data_root="", use_pallas=on_tpu)
     exp = exp.replace(
         train=dataclasses.replace(
             exp.train,
             batch_size=args.batch_size,
             checkpoint_dir=os.path.join(tempfile.gettempdir(), "roofline_ckpt"),
-            table_optimizer=table_opt,
+            table_optimizer=args.table_optimizer,
         )
     )
 
