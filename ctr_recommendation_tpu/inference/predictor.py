@@ -129,6 +129,43 @@ class Predictor:
                 return jax.nn.sigmoid(logits)
 
         self._score = score
+        # score_table's scan program, cached per (batch_size, num_batches,
+        # column spec). Rebuilding a fresh jax.jit closure on every call
+        # (round ≤4 behavior) re-traced + re-loaded the executable each
+        # time — ~1-2 s of pure host/tunnel overhead per call vs the ~55 ms
+        # the 47x8192 scan actually runs on device.
+        self._bulk_cache: dict[tuple, object] = {}
+
+    def _bulk_scorer(self, batch_size: int, num_batches: int, cols: dict):
+        import jax.numpy as jnp
+
+        key = (
+            batch_size,
+            num_batches,
+            tuple(sorted((k, v.shape[1:], str(v.dtype)) for k, v in cols.items())),
+        )
+        fn = self._bulk_cache.get(key)
+        if fn is None:
+            score = self._score
+
+            @jax.jit
+            def score_all(params, model_state, mm_tables, data):
+                def body(_, i):
+                    batch = {
+                        k: jax.lax.dynamic_slice_in_dim(
+                            v, i * batch_size, batch_size
+                        )
+                        for k, v in data.items()
+                    }
+                    return None, score(params, model_state, mm_tables, batch)
+
+                _, probs = jax.lax.scan(
+                    body, None, jnp.arange(num_batches, dtype=jnp.int32)
+                )
+                return probs.reshape(-1)
+
+            fn = self._bulk_cache[key] = score_all
+        return fn
 
     def __call__(self, batch: dict[str, np.ndarray]) -> jax.Array:
         feats = {
@@ -154,35 +191,30 @@ class Predictor:
         (47x8192 rows; ~7.4M rows/s on the chip vs the reference's 163K)."""
         import jax.numpy as jnp
 
+        from ctr_recommendation_tpu.config.schema import FeatureType
+
         n = table.num_rows
         if n == 0:
             return np.zeros((0,), np.float32)
         num_batches = -(-n // batch_size)
         padded = num_batches * batch_size
+        # only model-read columns go over the wire: PLACEHOLDER fields
+        # contribute a zeros embedding and read no column (trunk.py), and
+        # DENSE_EMBEDDING columns are joined on device from the ItemStore
+        dead = {
+            f.name
+            for f in self.fm.features
+            if f.type in (FeatureType.PLACEHOLDER, FeatureType.DENSE_EMBEDDING)
+        }
         cols = {}
         for k, v in table.columns.items():
-            if k == self.fm.label:
+            if k == self.fm.label or k in dead or k == "__weight__":
                 continue
             pad = padded - n
             if pad:
                 v = np.concatenate([v, np.zeros((pad, *v.shape[1:]), v.dtype)])
             cols[k] = jax.device_put(v)
 
-        score = self._score
-
-        @jax.jit
-        def score_all(params, model_state, mm_tables, data):
-            def body(_, i):
-                batch = {
-                    k: jax.lax.dynamic_slice_in_dim(v, i * batch_size, batch_size)
-                    for k, v in data.items()
-                }
-                return None, score(params, model_state, mm_tables, batch)
-
-            _, probs = jax.lax.scan(
-                body, None, jnp.arange(num_batches, dtype=jnp.int32)
-            )
-            return probs.reshape(-1)
-
+        score_all = self._bulk_scorer(batch_size, num_batches, cols)
         probs = score_all(self.params, self.model_state, self._mm_tables, cols)
         return np.asarray(probs[:n])
