@@ -3,6 +3,12 @@
 Byte-format parity with the reference output (Prediction.py:120-126):
 ``prediction_fibinet.csv`` with columns ``ID`` (0-based row index) and
 ``Task2`` (click probability), zipped into ``submission_fibinet.zip``.
+
+The hot path is the native writer (data/native/submission.cc): threaded
+std::to_chars float formatting (shortest round-trip decimal for the
+float32 value — the same contract as pandas' Ryu formatter) and a zlib
+raw-deflate single-entry zip. Falls back to pandas/zipfile without a
+toolchain.
 """
 
 from __future__ import annotations
@@ -12,16 +18,10 @@ import zipfile
 
 import numpy as np
 
+from ctr_recommendation_tpu.data import native
 
-def write_submission(
-    probs: np.ndarray,
-    out_dir: str,
-    csv_name: str = "prediction_fibinet.csv",
-    zip_name: str = "submission_fibinet.zip",
-) -> tuple[str, str]:
-    os.makedirs(out_dir, exist_ok=True)
-    csv_path = os.path.join(out_dir, csv_name)
-    probs = np.asarray(probs).ravel()
+
+def _write_csv_python(probs: np.ndarray, csv_path: str) -> None:
     try:
         # the reference's own writer (pandas to_csv, LF endings, shortest
         # float repr — Prediction.py:120-123) and ~4x faster than a
@@ -37,11 +37,30 @@ def write_submission(
             f.writelines(
                 f"{i},{float(p)!r}\n" for i, p in enumerate(probs)
             )
-    zip_path = os.path.join(out_dir, zip_name)
+
+
+def zip_submission(csv_path: str, zip_path: str, csv_name: str) -> None:
+    if native.zip_file(csv_path, zip_path, csv_name, level=1):
+        return
     # compresslevel 1: the submission zips ~6x faster for ~10% more bytes;
     # the reference's default-level zip differs byte-wise anyway (timestamps)
     with zipfile.ZipFile(
         zip_path, "w", zipfile.ZIP_DEFLATED, compresslevel=1
     ) as z:
         z.write(csv_path, arcname=csv_name)
+
+
+def write_submission(
+    probs: np.ndarray,
+    out_dir: str,
+    csv_name: str = "prediction_fibinet.csv",
+    zip_name: str = "submission_fibinet.zip",
+) -> tuple[str, str]:
+    os.makedirs(out_dir, exist_ok=True)
+    csv_path = os.path.join(out_dir, csv_name)
+    probs = np.asarray(probs, dtype=np.float32).ravel()
+    if not native.write_csv(probs, csv_path):
+        _write_csv_python(probs, csv_path)
+    zip_path = os.path.join(out_dir, zip_name)
+    zip_submission(csv_path, zip_path, csv_name)
     return csv_path, zip_path
