@@ -33,7 +33,7 @@ def main(argv=None) -> int:
     import os
 
     from ctr_recommendation_tpu.config import microlens_experiment, serialize
-    from ctr_recommendation_tpu.data import ItemStore, iter_batches, load_split
+    from ctr_recommendation_tpu.data import ItemStore
     from ctr_recommendation_tpu.features import build_feature_map
     from ctr_recommendation_tpu.inference import Predictor, write_submission
     from ctr_recommendation_tpu.training import Trainer
@@ -74,14 +74,9 @@ def main(argv=None) -> int:
         id_col=exp.dataset.item_info_key,
         emb_col=exp.dataset.item_info_emb_col,
     )
-    if args.stream:
-        import pyarrow.parquet as pq
+    import pyarrow.parquet as pq
 
-        n_rows = pq.ParquetFile(exp.dataset.test_data).metadata.num_rows
-        test = None
-    else:
-        test = load_split(exp.dataset.test_data, fm, include_label=False)
-        n_rows = test.num_rows
+    n_rows = pq.ParquetFile(exp.dataset.test_data).metadata.num_rows
     print(f"[data] test {n_rows} rows")
 
     trainer = Trainer(exp, steps_per_epoch=1, log_fn=print)
@@ -100,11 +95,21 @@ def main(argv=None) -> int:
                 exp.dataset.test_data, fm, args.batch_size, include_label=False
             )
         )
+        assert probs.shape == (n_rows,)
+        csv_path, zip_path = write_submission(probs, args.out_dir)
     else:
-        # whole split scored as one device program (no per-batch dispatch)
-        probs = pred.score_table(test, batch_size=args.batch_size)
-    assert probs.shape == (n_rows,)
-    csv_path, zip_path = write_submission(probs, args.out_dir)
+        # the overlapped pipeline: record-batch decode -> packed single-
+        # buffer upload -> fused scoring scan -> incremental CSV -> zip
+        # (inference/pipeline.py). Constant host memory at any split size.
+        from ctr_recommendation_tpu.inference import run_submission_pipeline
+
+        written = run_submission_pipeline(
+            exp.dataset.test_data, pred, args.out_dir,
+            batch_size=args.batch_size,
+        )
+        assert written == n_rows
+        csv_path = os.path.join(args.out_dir, "prediction_fibinet.csv")
+        zip_path = os.path.join(args.out_dir, "submission_fibinet.zip")
     print(f"[out] {csv_path}\n[out] {zip_path}")
     return 0
 

@@ -1,0 +1,216 @@
+"""Pipelined end-to-end submission: parquet -> device -> CSV+zip, overlapped.
+
+The reference's prediction driver runs decode, scoring, and CSV writing
+strictly serialized (Prediction.py:106-126). Round <=4 of this framework
+kept that structure (load_split -> score_table -> write_submission); with
+the scoring scan fused to ~55 ms on device, >95% of the end-to-end wall
+time was the three serialized HOST stages. This module overlaps them:
+
+  reader thread   pyarrow record-batch decode -> wire-pack (data/wire.py:
+                  one ~3x-smaller uint8 buffer per chunk)
+  main thread     single-buffer upload -> jitted unpack+score scan per
+                  chunk (program cached per chunk shape; dispatch is async
+                  so upload of chunk i+1 overlaps compute of chunk i)
+  writer thread   device->host readback -> incremental native CSV append
+                  (data/native/submission.cc) -> single zlib zip at EOF
+
+Bounded queues (depth 2) keep memory flat regardless of split size — the
+full prediction vector is never materialized on host.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+
+import numpy as np
+
+from ctr_recommendation_tpu.config.schema import FeatureType
+from ctr_recommendation_tpu.data import native
+from ctr_recommendation_tpu.data.parquet import _pad_list_column
+from ctr_recommendation_tpu.data.wire import (
+    build_unpacker,
+    build_wire_plan,
+    pack_columns,
+)
+
+_SENTINEL = object()
+
+
+def _decode_record_batch(rb, feature_map) -> dict[str, np.ndarray]:
+    """Arrow RecordBatch -> host columns (same per-column semantics as
+    data/parquet.load_split, chunk-wise)."""
+    spec_by_name = {f.name: f for f in feature_map.features}
+    cols: dict[str, np.ndarray] = {}
+    for name in rb.schema.names:
+        col = rb.column(rb.schema.get_field_index(name))
+        spec = spec_by_name.get(name)
+        if spec is not None and spec.type == FeatureType.SEQUENCE:
+            cols[name] = _pad_list_column(col, spec.max_len, spec.pad_id)
+        else:
+            arr = col.to_numpy(zero_copy_only=False)
+            if np.issubdtype(arr.dtype, np.integer):
+                arr = arr.astype(np.int32)
+            else:
+                arr = arr.astype(np.float32)
+            cols[name] = arr
+    return cols
+
+
+def write_csv_chunk(
+    probs: np.ndarray, csv_path: str, *, id_offset: int, append: bool
+) -> None:
+    """Append one chunk of (id, prob) rows; header on the first chunk.
+    Native formatter when available, pandas fallback otherwise."""
+    probs = np.asarray(probs, dtype=np.float32).ravel()
+    if native.write_csv(probs, csv_path, id_offset=id_offset, append=append):
+        return
+    import pandas as pd
+
+    pd.DataFrame(
+        {"ID": np.arange(id_offset, id_offset + len(probs)), "Task2": probs}
+    ).to_csv(csv_path, mode="a" if append else "w", header=not append, index=False)
+
+
+def run_submission_pipeline(
+    test_path: str,
+    predictor,
+    out_dir: str,
+    *,
+    batch_size: int = 8192,
+    chunk_rows: int = 131_072,
+    csv_name: str = "prediction_fibinet.csv",
+    zip_name: str = "submission_fibinet.zip",
+) -> int:
+    """Stream `test_path` through the predictor into the submission CSV+zip.
+
+    Returns the number of rows written. Row order (and therefore the ID
+    column) matches the parquet file exactly; probabilities are identical
+    to the bulk score_table path (same jitted scoring step).
+    """
+    import jax
+    import jax.numpy as jnp
+    import pyarrow.parquet as pq
+
+    from ctr_recommendation_tpu.inference.submission import zip_submission
+
+    fm = predictor.fm
+    chunk_rows = max(batch_size, (chunk_rows // batch_size) * batch_size)
+    plan = build_wire_plan(fm)
+    wanted = [e.name for e in plan.entries]
+
+    os.makedirs(out_dir, exist_ok=True)
+    csv_path = os.path.join(out_dir, csv_name)
+    zip_path = os.path.join(out_dir, zip_name)
+
+    q_packed: queue.Queue = queue.Queue(maxsize=2)
+    q_scored: queue.Queue = queue.Queue(maxsize=2)
+    errors: list[BaseException] = []
+
+    def reader():
+        try:
+            pf = pq.ParquetFile(test_path)
+            available = set(pf.schema_arrow.names)
+            missing = [c for c in wanted if c not in available]
+            if missing:
+                raise KeyError(
+                    f"{test_path} is missing model columns {missing}"
+                )
+            for rb in pf.iter_batches(batch_size=chunk_rows, columns=wanted):
+                if errors:
+                    return
+                cols = _decode_record_batch(rb, fm)
+                n_valid = rb.num_rows
+                n_padded = -(-n_valid // batch_size) * batch_size
+                buf, layout = pack_columns(cols, plan, n_padded)
+                q_packed.put((n_valid, buf, layout))
+        except BaseException as e:  # noqa: BLE001 — forwarded to main
+            errors.append(e)
+        finally:
+            q_packed.put(_SENTINEL)
+
+    def writer():
+        try:
+            written = 0
+            while True:
+                item = q_scored.get()
+                if item is _SENTINEL:
+                    break
+                n_valid, probs_dev = item
+                probs = np.asarray(probs_dev)[:n_valid]
+                write_csv_chunk(
+                    probs, csv_path, id_offset=written, append=written > 0
+                )
+                written += n_valid
+            if written == 0:
+                write_csv_chunk(
+                    np.zeros(0, np.float32), csv_path,
+                    id_offset=0, append=False,
+                )
+            zip_submission(csv_path, zip_path, csv_name)
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    # chunk scoring program, cached per layout shape: unpack the wire
+    # buffer on device, then the same scan-of-batches the bulk path runs
+    score = predictor._score
+    fn_cache: dict[tuple, object] = {}
+
+    def chunk_scorer(layout):
+        key = (layout.n_rows, layout.caps, layout.total_bytes)
+        fn = fn_cache.get(key)
+        if fn is None:
+            unpack = build_unpacker(layout)
+            num_batches = layout.n_rows // batch_size
+
+            @jax.jit
+            def score_chunk(params, model_state, mm_tables, buf):
+                data = unpack(buf)
+
+                def body(_, i):
+                    batch = {
+                        k: jax.lax.dynamic_slice_in_dim(
+                            v, i * batch_size, batch_size
+                        )
+                        for k, v in data.items()
+                    }
+                    return None, score(params, model_state, mm_tables, batch)
+
+                _, probs = jax.lax.scan(
+                    body, None, jnp.arange(num_batches, dtype=jnp.int32)
+                )
+                return probs.reshape(-1)
+
+            fn = fn_cache[key] = score_chunk
+        return fn
+
+    t_reader = threading.Thread(target=reader, daemon=True)
+    t_writer = threading.Thread(target=writer, daemon=True)
+    t_reader.start()
+    t_writer.start()
+
+    total = 0
+    try:
+        while True:
+            item = q_packed.get()
+            if item is _SENTINEL:
+                break
+            n_valid, buf, layout = item
+            dev = jax.device_put(buf)
+            fn = chunk_scorer(layout)
+            probs = fn(
+                predictor.params,
+                predictor.model_state,
+                predictor._mm_tables,
+                dev,
+            )
+            q_scored.put((n_valid, probs))  # async: dispatch only
+            total += n_valid
+    finally:
+        q_scored.put(_SENTINEL)
+        t_writer.join()
+        t_reader.join()
+    if errors:
+        raise errors[0]
+    return total
