@@ -59,7 +59,7 @@ def main() -> None:
     from ctr_recommendation_tpu.features import build_feature_map
     from ctr_recommendation_tpu.models import build_model
     from ctr_recommendation_tpu.training import Trainer
-    from __graft_entry__ import _fake_batch
+    from ctr_recommendation_tpu.data.synthetic import fake_batch as _fake_batch
 
     on_tpu = jax.default_backend() == "tpu"
     exp = microlens_experiment(data_root="", use_pallas=on_tpu)
@@ -223,12 +223,7 @@ def main() -> None:
     # Prediction.py:97) and same included work as the 163K rows/s baseline.
     import os
 
-    from ctr_recommendation_tpu.data import (
-        ItemStore,
-        load_split,
-        write_synthetic_dataset,
-    )
-    from ctr_recommendation_tpu.inference import write_submission
+    from ctr_recommendation_tpu.data import ItemStore, write_synthetic_dataset
 
     e2e_root = "/tmp/bench_e2e_data"
     test_path = os.path.join(e2e_root, "test.parquet")
@@ -242,19 +237,55 @@ def main() -> None:
     pred_e2e = Predictor(exp, params, state, fold_bn=True, item_store=store)
     out_dir = "/tmp/bench_e2e_out"
 
+    from ctr_recommendation_tpu.inference import run_submission_pipeline
+
     def run_e2e():
-        test = load_split(test_path, fm, include_label=False)
-        probs = pred_e2e.score_table(test, batch_size=eval_bs)
-        write_submission(probs, out_dir)
-        return len(probs)
+        # the predict CLI's default path (inference/pipeline.py): record-
+        # batch decode -> wire-packed single-buffer upload -> fused scoring
+        # scan -> incremental native CSV -> zip, all overlapped
+        return run_submission_pipeline(
+            test_path, pred_e2e, out_dir, batch_size=eval_bs
+        )
 
     n_test = run_e2e()  # warm (compile + page cache)
+    # median of 5 with spread reported in extra: the transfer link is
+    # shared, and a single hiccup would otherwise swing the headline
     e2e_times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         run_e2e()
         e2e_times.append(time.perf_counter() - t0)
     e2e_rows_per_sec = n_test / float(np.median(e2e_times))
+    e2e_spread = {
+        "e2e_runs_s": [round(t, 3) for t in sorted(e2e_times)],
+        "e2e_best_rows_per_sec": round(n_test / min(e2e_times), 1),
+    }
+
+    # --- serving: closed-loop single-request latency on the online request
+    # shape (serving/collator.py), client-supplied item_emb_d128 dense ---
+    from ctr_recommendation_tpu.serving.collator import RequestCollator
+
+    collator = RequestCollator(fm)
+    req_rows = 256
+    rows = [
+        {
+            "likes_level": int(rng.integers(0, 11)),
+            "views_level": int(rng.integers(0, 11)),
+            "item_id": int(rng.integers(1, 91718)),
+            "item_seq": rng.integers(1, 91718, size=10).tolist(),
+            "item_emb_d128": rng.standard_normal(128).astype(np.float32),
+        }
+        for _ in range(req_rows)
+    ]
+    sbatch, _n_valid = collator.collate(rows)
+    float(pred_e2e(sbatch)[0])  # compile + warm
+    serve_lat = []
+    for _ in range(50):
+        t0 = time.perf_counter()
+        float(pred_e2e(sbatch)[0])
+        serve_lat.append(time.perf_counter() - t0)
+    serving_p50_ms = float(np.percentile(serve_lat, 50)) * 1e3
+    serving_p99_ms = float(np.percentile(serve_lat, 99)) * 1e3
 
     # --- MFU (matmul-only FLOPs / measured device time / chip bf16 peak).
     # Scoring: per-row eval matmuls over the measured device-only batch
@@ -295,6 +326,10 @@ def main() -> None:
                     ),
                     "eval_batch": eval_bs,
                     "train_batch": train_bs,
+                    **e2e_spread,
+                    "serving_request_rows": req_rows,
+                    "serving_p50_ms": round(serving_p50_ms, 2),
+                    "serving_p99_ms": round(serving_p99_ms, 2),
                     "peak_bf16_tflops": peak,
                     "mfu_scoring_pct": (
                         round(100 * mfu_scoring, 2) if mfu_scoring else None

@@ -151,7 +151,7 @@ def main() -> None:
         )
         return
 
-    from __graft_entry__ import _fake_batch
+    from ctr_recommendation_tpu.data.synthetic import fake_batch as _fake_batch
     from ctr_recommendation_tpu.config import microlens_experiment
     from ctr_recommendation_tpu.inference import Predictor
     from ctr_recommendation_tpu.features import build_feature_map

@@ -72,7 +72,7 @@ def main() -> int:
 
     from ctr_recommendation_tpu.config import microlens_experiment
     from ctr_recommendation_tpu.training import Trainer
-    from __graft_entry__ import _fake_batch
+    from ctr_recommendation_tpu.data.synthetic import fake_batch as _fake_batch
     from benchmarks.analyze_trace import load_events
 
     on_tpu = jax.default_backend() == "tpu"

@@ -14,6 +14,11 @@ import dataclasses
 import enum
 from typing import Any, Mapping, Sequence
 
+# one-shot flag: the implicit adagrad-family table_lr_scale default is
+# logged the first time it is applied (advisor round 4: the 10x change
+# was otherwise invisible in run logs)
+_logged_lr_scale_default = False
+
 
 class FeatureType(str, enum.Enum):
     """Kind of input column.
@@ -277,14 +282,21 @@ class TrainConfig:
 
     def resolved_table_lr_scale(self) -> float:
         """table_lr_scale with the adagrad-family default applied (see the
-        field comment)."""
+        field comment). Logs once when the implicit 10x default kicks in so
+        full-scale runs record the effective embedding lr."""
         if self.table_lr_scale is not None:
             return self.table_lr_scale
-        return (
-            10.0
-            if self.table_optimizer in ("adagrad", "rowwise_adagrad")
-            else 1.0
-        )
+        if self.table_optimizer in ("adagrad", "rowwise_adagrad"):
+            global _logged_lr_scale_default
+            if not _logged_lr_scale_default:
+                _logged_lr_scale_default = True
+                print(
+                    "[table_optimizer] table_lr_scale not set: applying the "
+                    f"{self.table_optimizer} family default 10.0 (pass "
+                    "--table-lr-scale to override)"
+                )
+            return 10.0
+        return 1.0
 
 
 @dataclasses.dataclass(frozen=True)

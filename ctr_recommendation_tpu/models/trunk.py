@@ -109,6 +109,15 @@ def apply(
     reduction streams it once, where the (B, S, E) order forces XLA to
     materialize a full relayout copy of the gathered block (measured ~290 us
     per 8192-row batch at MicroLens serving shapes).
+
+    CONTRACT for lookup implementations that pre-gather per feature (the
+    merged-scatter train path, training/loop.py _merged_lookup): the ids a
+    planned feature passes here are exactly ``batch[f.name]`` — verbatim
+    for raw id fields, transposed for mean-pooled sequences — and
+    pre-gathered results may be matched to callers by (feature, shape)
+    alone. A model variant that remaps/shifts ids before lookup must
+    either pass a different ``feature`` name or bypass the plan (it would
+    otherwise silently receive embeddings for the unmapped ids).
     """
     if lookup is None:
         lookup = lambda tables, name, ids, feature=None, batch_dim=0: tables[name][ids]

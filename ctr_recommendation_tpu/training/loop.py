@@ -237,10 +237,12 @@ class Trainer:
         through sparse_lib.multi_feature_lookup: per-feature forward
         gathers (the fast layouts XLA already picks) whose custom_vjp
         backward emits ONE merged scatter-add per table instead of one per
-        feature (round-4 roofline: split scatters 815 + 300 us of the
-        2746 us step; merged ~785 us at the ~10 ns/row v5e scatter
-        dispatch floor; a flat-gather variant that merged the FORWARD too
-        was measured 6x slower on the gather side and rejected). The raw
+        feature (round-4 roofline, docs/PERFORMANCE.md: split scatters
+        815 + 300 us of the 2746 us step; merged measured 1082 us — the
+        ~10 ns/row v5e dispatch floor would predict ~785 us, the gap is
+        the unmerged moment updates; a flat-gather variant that merged
+        the FORWARD too was measured 6x slower on the gather side and
+        rejected). The raw
         id features are untouched (the trunk reads them as the pad mask);
         _merged_lookup matches callers to cached embeddings by ids.shape,
         so square (S == B) sequences — where the layouts are
