@@ -648,26 +648,37 @@ class Trainer:
                 for k, v in stacked.items()
                 if (dt := self._wire_dtype(k, v)) is not None
             }
-        for k, dt in self._wire_plan.items():
+        for k, dt in list(self._wire_plan.items()):
             v = stacked[k]
             if dt == "split24":
                 if v.min() < 0 or (v >> 24).any():
-                    raise ValueError(
-                        f"streamed column {k!r} no longer fits the 24-bit "
-                        "split wire encoding chosen from the first chunk; "
-                        "restart training so the plan is re-derived"
+                    # values outgrew the narrowing chosen from the first
+                    # chunk: widen this column to pass-through for the rest
+                    # of the stream instead of aborting the run. The wider
+                    # wire signature retraces the chunk scan ONCE; numerics
+                    # are unchanged (the device body upcasts either way).
+                    self._wire_plan.pop(k)
+                    self.log(
+                        f"[stream] column {k!r} no longer fits the 24-bit "
+                        "split wire encoding; widening to int32 for the "
+                        "remaining chunks (one-time retrace)"
                     )
+                    continue
                 stacked[k + "__lo16"] = (v & 0xFFFF).astype(np.uint16)
                 stacked[k + "__hi8"] = (v >> 16).astype(np.uint8)
                 del stacked[k]
                 continue
             w = v.astype(dt)
             if v.dtype != dt and not np.array_equal(w, v):
-                raise ValueError(
-                    f"streamed column {k!r} no longer fits wire dtype {dt} "
-                    "chosen from the first chunk (e.g. soft labels appearing "
-                    "mid-stream); restart training so the plan is re-derived"
+                # e.g. soft labels appearing mid-stream: ship this and all
+                # later chunks at the original wide dtype (one retrace)
+                self._wire_plan.pop(k)
+                self.log(
+                    f"[stream] column {k!r} no longer fits wire dtype "
+                    f"{dt}; widening to {v.dtype} for the remaining "
+                    "chunks (one-time retrace)"
                 )
+                continue
             stacked[k] = w
         from ctr_recommendation_tpu.parallel.distributed import host_local_to_global
 
@@ -1138,17 +1149,51 @@ class Trainer:
 
     # ------------------------------------------------------------------ eval
     def evaluate(self, batches: Iterator[dict]) -> dict[str, float]:
-        probs_l, labels_l, w_l = [], [], []
+        """AUC/logloss over an iterator of batches.
+
+        With ``num_eval_threshold_bins`` set, metrics accumulate PER BATCH
+        (binned-AUC histograms + weighted logloss sums) — constant memory
+        at any split size, the streaming-eval companion of
+        data/streaming.py (a valid split larger than the stream buffer
+        never materializes its prediction vector). With bins unset the
+        exact sort-based AUC needs every (prob, label) pair, so the
+        vectors concatenate as before — at production-log scale set bins
+        (4096 bins are within ~1e-4 of exact on MicroLens-sized splits,
+        tests/test_metrics.py)."""
+        nbins = self.exp.train.num_eval_threshold_bins
+        if not nbins:
+            probs_l, labels_l, w_l = [], [], []
+            for batch in batches:
+                b = self.put_batch(batch)
+                probs = self._eval_step(
+                    self.state.params, self.state.model_state, b
+                )
+                probs_l.append(probs)
+                labels_l.append(b[self.fm.label])
+                w_l.append(b.get("__weight__", jnp.ones_like(probs)))
+            probs = jnp.concatenate(probs_l)
+            labels = jnp.concatenate(labels_l)
+            weight = jnp.concatenate(w_l)
+            return self._metrics_from(labels, probs, weight)
+
+        hp = jnp.zeros((nbins,))
+        hn = jnp.zeros((nbins,))
+        ll_sum = jnp.zeros(())
+        w_sum = jnp.zeros(())
         for batch in batches:
             b = self.put_batch(batch)
             probs = self._eval_step(self.state.params, self.state.model_state, b)
-            probs_l.append(probs)
-            labels_l.append(b[self.fm.label])
-            w_l.append(b.get("__weight__", jnp.ones_like(probs)))
-        probs = jnp.concatenate(probs_l)
-        labels = jnp.concatenate(labels_l)
-        weight = jnp.concatenate(w_l)
-        return self._metrics_from(labels, probs, weight)
+            labels = b[self.fm.label]
+            weight = b.get("__weight__", jnp.ones_like(probs))
+            hp, hn = metrics_lib.binned_auc_update(
+                hp, hn, labels, probs, weight, num_bins=nbins
+            )
+            bw = jnp.sum(weight)
+            ll_sum = ll_sum + metrics_lib.logloss(labels, probs, weight) * bw
+            w_sum = w_sum + bw
+        auc_v = metrics_lib.binned_auc_finalize(hp, hn)
+        ll = ll_sum / jnp.maximum(w_sum, 1.0)
+        return {"auc": float(auc_v), "logloss": float(ll)}
 
     # ------------------------------------------------------------------ infer
     def predict(self, batches: Iterator[dict]) -> np.ndarray:

@@ -96,7 +96,8 @@ def test_wire_dtype_narrowing(tiny_experiment):
     """put_chunk's wire plan: binary labels/weights and small-vocab
     categoricals ride uint8, big-vocab ids stay int32, soft labels stay
     f32, placeholder columns are dropped, and a later chunk violating the
-    first-chunk plan raises instead of silently wrapping."""
+    first-chunk plan WIDENS that column for the rest of the stream (one
+    retrace) instead of aborting the run."""
     tr = Trainer(tiny_experiment, total_steps=4, log_fn=lambda s: None)
     rng = np.random.default_rng(0)
     n = 8
@@ -123,10 +124,19 @@ def test_wire_dtype_narrowing(tiny_experiment):
     assert out["item_id"].dtype == np.uint8
     assert out["item_seq"].dtype == np.uint8
 
-    # a later chunk with soft labels violates the uint8 plan -> hard error
+    # a later chunk with soft labels violates the uint8 plan -> the label
+    # column widens back to f32 (exact values preserved) and STAYS wide
+    logs = []
+    tr.log = logs.append
     soft = batch(rng.random(n).astype(np.float32))
-    with pytest.raises(ValueError, match="label.*wire dtype"):
-        tr.put_chunk([soft, soft])
+    out_soft = tr.put_chunk([soft, soft])
+    assert out_soft["label"].dtype == np.float32
+    np.testing.assert_array_equal(
+        np.asarray(out_soft["label"]), np.stack([soft["label"]] * 2)
+    )
+    assert any("widening" in m for m in logs)
+    out_hard2 = tr.put_chunk([hard, hard])
+    assert out_hard2["label"].dtype == np.float32  # plan stays widened
 
     # a fresh trainer seeing soft labels FIRST keeps f32 on the wire
     tr2 = Trainer(
@@ -161,7 +171,7 @@ def test_wire_split24_roundtrip(tiny_experiment, tmp_path):
     """MicroLens-scale id columns (256 < vocab <= 2^24) ride the wire as
     uint16 low + uint8 high (3 B/element) and reconstruct exactly; a
     mid-vocab (<= 2^16) table rides plain uint16; out-of-range later chunks
-    raise instead of silently wrapping."""
+    widen that column to full-width instead of silently wrapping."""
     exp = _mid_vocab_experiment(tiny_experiment, 70_000, str(tmp_path / "ck"))
     tr = Trainer(exp, total_steps=4, log_fn=lambda s: None)
     rng = np.random.default_rng(1)
@@ -187,11 +197,16 @@ def test_wire_split24_roundtrip(tiny_experiment, tmp_path):
         recon = lo.astype(np.int64) | (hi.astype(np.int64) << 16)
         np.testing.assert_array_equal(recon, np.stack([b[col], b[col]]))
 
-    # id outside 24 bits on a later chunk -> hard error, not silent wrap
+    # id outside 24 bits on a later chunk -> that column widens to int32
+    # for the rest of the stream (never a silent wrap); others stay packed
     bad = batch(70_000)
     bad["item_seq"][0, 0] = 1 << 24
-    with pytest.raises(ValueError, match="item_seq.*24-bit"):
-        tr.put_chunk([bad, bad])
+    out_bad = tr.put_chunk([bad, bad])
+    assert out_bad["item_seq"].dtype == np.int32
+    np.testing.assert_array_equal(
+        np.asarray(out_bad["item_seq"]), np.stack([bad["item_seq"]] * 2)
+    )
+    assert "item_id__lo16" in out_bad  # unaffected columns keep the plan
 
     # 256 < vocab <= 2^16 rides plain uint16
     exp16 = _mid_vocab_experiment(tiny_experiment, 30_000, str(tmp_path / "ck16"))
@@ -246,3 +261,65 @@ def test_wire_split24_fit_parity(tiny_experiment, tmp_path):
                     jax.tree.leaves(state_w.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_soft_labels_mid_stream_complete_training(tiny_experiment, setup):
+    """A mid-stream chunk whose labels turn soft (f32 in (0,1)) must NOT
+    abort the run: the label column widens on the wire and the remaining
+    chunks train through (VERDICT r4 item 7)."""
+    root, fm, train, valid, store = setup
+    bs = 128
+    exp = tiny_experiment.replace(
+        train=dataclasses.replace(
+            tiny_experiment.train, batch_size=bs, epochs=1,
+            steps_per_dispatch=3, checkpoint_dir=f"{root}/ck_softmid",
+        )
+    )
+    steps = train.num_rows // bs
+    logs = []
+    tr = Trainer(exp, steps_per_epoch=steps, item_store=store,
+                 log_fn=logs.append)
+
+    def train_batches(epoch):
+        rng = np.random.default_rng(5)
+        for i, b in enumerate(
+            iter_batches(train, fm, bs, shuffle=True, seed=1, epoch=epoch,
+                         drop_last=True)
+        ):
+            if i >= steps // 2:  # labels turn soft mid-stream
+                b = dict(b)
+                b["label"] = rng.uniform(0.1, 0.9, size=bs).astype(np.float32)
+            yield b
+
+    hist = tr.fit(train_batches)
+    assert len(hist) == 1 and np.isfinite(hist[0]["train_loss"])
+    assert int(tr.state.step) == steps
+    assert any("widening" in m for m in logs)
+
+
+def test_streaming_binned_evaluate_matches_exact(tiny_experiment, setup):
+    """Trainer.evaluate with num_eval_threshold_bins accumulates per batch
+    (no full prediction vector) and lands within 1e-3 of the exact
+    sort-based AUC over the same iterator (VERDICT r4 item 7)."""
+    root, fm, train, valid, store = setup
+    bs = 64  # several batches -> the accumulator actually streams
+    exp_exact = tiny_experiment.replace(
+        train=dataclasses.replace(
+            tiny_experiment.train, checkpoint_dir=f"{root}/ck_ev_exact"
+        )
+    )
+    exp_binned = tiny_experiment.replace(
+        train=dataclasses.replace(
+            tiny_experiment.train, num_eval_threshold_bins=4096,
+            checkpoint_dir=f"{root}/ck_ev_binned",
+        )
+    )
+    m = {}
+    for tag, exp in (("exact", exp_exact), ("binned", exp_binned)):
+        tr = Trainer(exp, steps_per_epoch=1, item_store=store,
+                     log_fn=lambda s: None)
+        m[tag] = tr.evaluate(iter_batches(valid, fm, bs, item_store=store))
+    assert abs(m["binned"]["auc"] - m["exact"]["auc"]) < 1e-3
+    np.testing.assert_allclose(
+        m["binned"]["logloss"], m["exact"]["logloss"], atol=1e-5
+    )
