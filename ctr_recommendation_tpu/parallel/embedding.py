@@ -226,6 +226,55 @@ def sharded_lookup(
     return _lookup(table, ids)
 
 
+def exchange_stats(
+    ids,
+    *,
+    vocab_rows: int,
+    dp: int,
+    mp: int,
+    capacity_factor: float = DEFAULT_CAPACITY_FACTOR,
+    pad_id: int | None = None,
+) -> dict:
+    """Host-side mirror of the all_to_all routing math for ONE batch of ids:
+    what the dryrun/monitoring reports without instrumenting the jitted
+    path. Returns the chosen strategy, per-data-shard bucket capacity, the
+    max wanted-ids-per-bucket observed, and the overflow count (ids that
+    would take the cond-gated psum fallback). Mirrors
+    _all_to_all_lookup_local exactly: ids are flattened per data shard
+    (batch axis split dp ways), owner = id // rows_per, pad ids excluded."""
+    import numpy as np
+
+    ids = np.asarray(ids)
+    if mp == 1:
+        return {
+            "strategy": "local_gather",
+            "capacity": None,
+            "max_bucket": None,
+            "overflow": 0,
+        }
+    rows_per = vocab_rows // mp
+    per_shard = np.array_split(ids, dp, axis=0)
+    n_local = per_shard[0].reshape(-1).shape[0]
+    cap = max(1, -(-int(capacity_factor * n_local) // mp))
+    overflow = 0
+    max_bucket = 0
+    for shard_ids in per_shard:
+        flat = shard_ids.reshape(-1)
+        want = (flat >= 0) & (flat < rows_per * mp)
+        if pad_id is not None:
+            want &= flat != pad_id
+        owners = flat[want] // rows_per
+        counts = np.bincount(owners, minlength=mp)
+        max_bucket = max(max_bucket, int(counts.max()) if len(counts) else 0)
+        overflow += int(np.maximum(counts - cap, 0).sum())
+    return {
+        "strategy": "all_to_all",
+        "capacity": cap,
+        "max_bucket": max_bucket,
+        "overflow": overflow,
+    }
+
+
 # Tables at or below this many (padded) rows skip the exchange entirely:
 # a plain gather lets GSPMD all-gather the whole small table (KBs) once,
 # which is far cheaper than bucketing/psum-ing B*E rows of lookups. The

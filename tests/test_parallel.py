@@ -269,3 +269,39 @@ def test_make_sharded_lookup_small_table_passthrough(tiny_feature_map):
     lookup = make_sharded_lookup(mesh, feature_map=tiny_feature_map)
     got = lookup({"likes_level": table_s}, "likes_level", ids)
     np.testing.assert_allclose(np.asarray(got), np.asarray(table[ids]), rtol=1e-6)
+
+
+def test_exchange_stats_mirrors_routing_math():
+    """Host-side exchange_stats (the dryrun/monitoring counters) mirrors
+    _all_to_all_lookup_local's bucketing exactly: capacity formula, pad/
+    out-of-range exclusion, per-data-shard overflow accounting."""
+    import numpy as np
+
+    from ctr_recommendation_tpu.parallel.embedding import (
+        DEFAULT_CAPACITY_FACTOR,
+        exchange_stats,
+    )
+
+    vocab, dp, mp = 256, 2, 4
+    rows_per = vocab // mp
+    # shard 0 of the data axis: every id owned by model-shard 0 (overflow);
+    # shard 1: perfectly balanced
+    n_local = 32
+    skew = np.full(n_local, 1, np.int32)
+    balanced = (np.arange(n_local) % mp) * rows_per + 1
+    ids = np.concatenate([skew, balanced]).astype(np.int32)
+    s = exchange_stats(ids, vocab_rows=vocab, dp=dp, mp=mp, pad_id=0)
+    cap = max(1, -(-int(DEFAULT_CAPACITY_FACTOR * n_local) // mp))
+    assert s["strategy"] == "all_to_all"
+    assert s["capacity"] == cap
+    assert s["max_bucket"] == n_local  # the skewed shard's bucket 0
+    assert s["overflow"] == n_local - cap  # only shard 0 overflows
+
+    # pad ids and out-of-range ids consume no capacity
+    ids_pad = np.zeros(n_local * dp, np.int32)
+    s0 = exchange_stats(ids_pad, vocab_rows=vocab, dp=dp, mp=mp, pad_id=0)
+    assert s0["max_bucket"] == 0 and s0["overflow"] == 0
+
+    # mp=1 short-circuits to the local gather
+    s1 = exchange_stats(ids, vocab_rows=vocab, dp=dp, mp=1)
+    assert s1["strategy"] == "local_gather" and s1["overflow"] == 0
