@@ -79,7 +79,12 @@ def run_submission_pipeline(
     out_dir: str,
     *,
     batch_size: int = 8192,
-    chunk_rows: int = 131_072,
+    # 8 batches per chunk: measured the sweet spot on v5e through the
+    # shared tunnel — fine enough that decode/upload/score/write overlap
+    # from the second chunk on, coarse enough that per-chunk dispatch RTT
+    # stays amortized (65536: median 692K rows/s vs 325K at 131072 on the
+    # 385K-row reference workload)
+    chunk_rows: int = 65_536,
     csv_name: str = "prediction_fibinet.csv",
     zip_name: str = "submission_fibinet.zip",
 ) -> int:
@@ -152,13 +157,18 @@ def run_submission_pipeline(
         except BaseException as e:  # noqa: BLE001
             errors.append(e)
 
-    # chunk scoring program, cached per layout shape: unpack the wire
-    # buffer on device, then the same scan-of-batches the bulk path runs
+    # chunk scoring program, cached ON THE PREDICTOR per layout shape (a
+    # per-call cache would re-trace and re-load the executable on every
+    # pipeline invocation — the round-<=4 score_table bug all over again):
+    # unpack the wire buffer on device, then the same scan-of-batches the
+    # bulk path runs
     score = predictor._score
-    fn_cache: dict[tuple, object] = {}
+    if not hasattr(predictor, "_wire_cache"):
+        predictor._wire_cache = {}
+    fn_cache: dict[tuple, object] = predictor._wire_cache
 
     def chunk_scorer(layout):
-        key = (layout.n_rows, layout.caps, layout.total_bytes)
+        key = (batch_size, layout.n_rows, layout.caps, layout.total_bytes)
         fn = fn_cache.get(key)
         if fn is None:
             unpack = build_unpacker(layout)
