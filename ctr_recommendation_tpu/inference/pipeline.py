@@ -220,7 +220,14 @@ def run_submission_pipeline(
     finally:
         q_scored.put(_SENTINEL)
         t_writer.join()
-        t_reader.join()
+        # if main stopped consuming early (error path), the reader may be
+        # blocked on a full q_packed — drain until it exits
+        while t_reader.is_alive():
+            try:
+                q_packed.get_nowait()
+            except queue.Empty:
+                pass
+            t_reader.join(timeout=0.05)
     if errors:
         raise errors[0]
     return total

@@ -192,18 +192,44 @@ def apply(
             else:
                 target = pooling.masked_mean(seq_emb, seq_ids, f.pad_id)
             if seq_pooling == "attention":
-                encoded = attn_ops.encode(
-                    params["attn"][f.name],
-                    seq_emb,
-                    seq_ids,
-                    num_heads=cfg.attn_num_heads,
-                    pad_id=f.pad_id,
-                    train=train,
-                    dropout_rate=cfg.attn_dropout,
-                    rng=None if rng is None else jax.random.fold_in(
-                        rng, zlib.crc32(f.name.encode()) % (2**31)
-                    ),
+                attn_rng = None if rng is None else jax.random.fold_in(
+                    rng, zlib.crc32(f.name.encode()) % (2**31)
                 )
+                drop_active = (
+                    train and cfg.attn_dropout > 0.0 and attn_rng is not None
+                )
+                # fused Pallas encoder: one kernel instead of ~20 HBM
+                # passes over (B, S, E). In-kernel dropout needs the TPU
+                # PRNG, which interpret mode lacks — non-TPU training
+                # with dropout keeps the jnp path (same statistics).
+                if cfg.use_pallas and (
+                    jax.default_backend() == "tpu" or not drop_active
+                ):
+                    from ctr_recommendation_tpu.ops.pallas.sasrec_encoder import (
+                        fused_encode,
+                    )
+
+                    encoded = fused_encode(
+                        params["attn"][f.name],
+                        seq_emb,
+                        seq_ids,
+                        num_heads=cfg.attn_num_heads,
+                        pad_id=f.pad_id,
+                        train=train,
+                        dropout_rate=cfg.attn_dropout,
+                        rng=attn_rng,
+                    )
+                else:
+                    encoded = attn_ops.encode(
+                        params["attn"][f.name],
+                        seq_emb,
+                        seq_ids,
+                        num_heads=cfg.attn_num_heads,
+                        pad_id=f.pad_id,
+                        train=train,
+                        dropout_rate=cfg.attn_dropout,
+                        rng=attn_rng,
+                    )
                 _append(
                     f.name,
                     attn_ops.target_pool(
