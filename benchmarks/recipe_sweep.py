@@ -58,6 +58,11 @@ GRID: dict[str, dict] = {
         "bilinear_type": "each", "hidden_units": (1024, 512),
         "table_optimizer": "rowwise_adagrad",
     },
+    # capacity probes: the 16-config knob grid saturates at ~0.9386-0.9389
+    # (every recipe within 0.002), so the residual vs the 0.958 ceiling is
+    # tested against model capacity rather than recipe
+    "emb_256": {"embedding_dim": 256},
+    "emb_256_tower1024": {"embedding_dim": 256, "hidden_units": (1024, 512)},
 }
 
 

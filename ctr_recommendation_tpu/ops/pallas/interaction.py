@@ -382,8 +382,12 @@ def _pallas_backward(g, x, w1, b1, w2, b2, w_bi, *, bilinear_type, block_b):
     num_pairs = f * (f - 1) // 2
     out_dim = (f + num_pairs) * e
     # smaller default tile than the forward: the bwd holds g (out_dim wide)
-    # plus several (TB, E) per-field intermediates in VMEM
-    block_b = min(block_b, 256, max(8, 1 << (b - 1).bit_length()))
+    # plus several (TB, E) per-field intermediates in VMEM (budget-capped
+    # at half the forward's so wide-E configs compile, see _vmem_block_cap)
+    block_b = min(
+        block_b, 256, _vmem_block_cap(f, e, 4 << 20),
+        max(8, 1 << (b - 1).bit_length()),
+    )
     pad_b = (-b) % block_b
     if pad_b:
         # zero pad rows contribute exactly zero to every gradient output
@@ -548,6 +552,17 @@ def _fused_bwd(bilinear_type, block_b, residuals, g):
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
+def _vmem_block_cap(f: int, e: int, budget_bytes: int = 8 << 20) -> int:
+    """Largest power-of-two batch tile whose fp32 in+out rows fit the
+    scoped-vmem budget. The 512 default was tuned at E=128 (7.1 MB); at
+    E=256 the same tile is 21 MB and Mosaic OOMs the 16 MB scoped limit
+    (measured) — the cap keeps the kernel usable at any embedding width."""
+    out_dim = (f + f * (f - 1) // 2) * e
+    per_row = 4 * (f * e + out_dim)
+    cap = max(8, budget_bytes // per_row)
+    return 1 << (cap.bit_length() - 1)
+
+
 def fused_senet_bilinear_concat(
     senet_params: dict,
     bilinear_params: dict,
@@ -557,6 +572,8 @@ def fused_senet_bilinear_concat(
     block_b: int = 512,
 ) -> jax.Array:
     """Drop-in replacement for the jnp reference path (same numerics)."""
-    b = x.shape[0]
-    block_b = min(block_b, max(8, 1 << (b - 1).bit_length()))
+    b, f, e = x.shape
+    block_b = min(
+        block_b, _vmem_block_cap(f, e), max(8, 1 << (b - 1).bit_length())
+    )
     return _fused(senet_params, bilinear_params, x, bilinear_type, block_b)

@@ -212,6 +212,11 @@ def fused_score(
     if len(folded_mlp["layers"]) != 2:
         raise ValueError("fused_score expects a 2-hidden-layer tower")
     f = x.shape[1]
+    # budget-cap the tile for wide embeddings (the 512 default was tuned
+    # at E=128; see interaction._vmem_block_cap for the measured OOM)
+    from ctr_recommendation_tpu.ops.pallas.interaction import _vmem_block_cap
+
+    block_b = min(block_b, _vmem_block_cap(f, x.shape[2]))
     fc1, fc2 = senet_params["fc1"], senet_params["fc2"]
     reduced = fc1["w"].shape[1]
     sb1 = fc1.get("b", jnp.zeros((reduced,)))
