@@ -183,3 +183,46 @@ def test_pipeline_missing_column_raises(tmp_path, tiny_experiment):
     pq.write_table(pa.table({"likes_level": [1, 2, 3]}), path)
     with pytest.raises(KeyError, match="item_id"):
         run_submission_pipeline(path, pred, str(tmp_path / "o"), batch_size=4)
+
+
+def test_hashed_table_rides_i32_and_roundtrips():
+    """Hashed tables have unbounded raw ids (hashing happens on device):
+    the wire plan must keep them full-width i32, including negative ids,
+    and sequences on a hashed table still ride ragged."""
+    import dataclasses
+
+    from ctr_recommendation_tpu.config.loader import microlens_features
+    from ctr_recommendation_tpu.config import microlens_experiment
+    from ctr_recommendation_tpu.config.schema import FeatureSpec, FeatureType
+
+    exp = microlens_experiment(data_root="")
+    feats = []
+    for f in microlens_features(item_vocab=200, cate_vocab=11, max_len=8, mm_dim=16):
+        if f.name == "item_id":
+            f = dataclasses.replace(f, vocab_size=None, hash_buckets=512)
+        feats.append(f)
+    fm = build_feature_map(
+        dataclasses.replace(exp.dataset, features=tuple(feats))
+    )
+    plan = build_wire_plan(fm)
+    codes = {e.name: e.code for e in plan.entries}
+    assert codes["item_id"] == "i32"
+    assert codes["item_seq"] == "i32"  # shares the hashed table
+
+    rng = np.random.default_rng(5)
+    n = 64
+    cols = {
+        "likes_level": rng.integers(0, 11, n, dtype=np.int32),
+        "views_level": rng.integers(0, 11, n, dtype=np.int32),
+        # raw hashed-space ids: arbitrary int32 incl. negatives
+        "item_id": rng.integers(-(2**31) + 1, 2**31 - 1, n, dtype=np.int64).astype(np.int32),
+        "item_seq": np.where(
+            rng.random((n, 8)) < 0.4,
+            0,
+            rng.integers(1, 2**31 - 1, size=(n, 8)),
+        ).astype(np.int32),
+    }
+    buf, layout = pack_columns(cols, plan, n)
+    out = jax.jit(build_unpacker(layout))(jnp.asarray(buf))
+    for name, want in cols.items():
+        np.testing.assert_array_equal(np.asarray(out[name]), want, err_msg=name)
