@@ -272,11 +272,19 @@ class Trainer:
                 for f in fs
             ):
                 continue
+            # sequence layout follows the MODEL's lookup: mean pooling
+            # gathers transposed (S, B) (see trunk.apply), but attention/
+            # din pooling gathers (B, S) verbatim — planning the mean
+            # layout there made _merged_lookup hand back a transposed
+            # block that XLA relayouts per step (a full (S, B, E) copy)
+            seq_transposed = getattr(
+                self.module, "SEQ_POOLING", "mean"
+            ) not in ("attention", "din")
             multi[t] = [
                 (
                     f.name,
                     feats[f.name].astype(jnp.int32).T
-                    if f.type == FeatureType.SEQUENCE
+                    if f.type == FeatureType.SEQUENCE and seq_transposed
                     else feats[f.name].astype(jnp.int32),
                 )
                 for f in fs
