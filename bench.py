@@ -243,9 +243,10 @@ def main() -> None:
         # the predict CLI's default path (inference/pipeline.py): record-
         # batch decode -> wire-packed single-buffer upload -> fused scoring
         # scan -> incremental native CSV -> zip, all overlapped
-        return run_submission_pipeline(
+        written, _csv, _zip = run_submission_pipeline(
             test_path, pred_e2e, out_dir, batch_size=eval_bs
         )
+        return written
 
     n_test = run_e2e()  # warm (compile + page cache)
     # median of 5 with spread reported in extra: the transfer link is

@@ -10,8 +10,8 @@ writes a JSON results table for docs/PERFORMANCE.md.
 
 Usage:
     python benchmarks/recipe_sweep.py [--epochs 10] [--out sweep.json]
-    python benchmarks/recipe_sweep.py --seeds 2025 7 42 --configs best
-        # seed-variance band at the winning config
+    python benchmarks/recipe_sweep.py --seeds 2025 7 42 --configs lr_2x
+        # seed-variance band at a winning config (any GRID key)
 
 Each run is ~2-4 s/epoch on one v5e; a 16-config sweep costs minutes.
 Dataset dirs are cached per signal under /tmp (same layout as
@@ -141,6 +141,9 @@ def main() -> int:
         )
 
     names = args.configs or list(GRID)
+    unknown = [n for n in names if n not in GRID]
+    if unknown:
+        p.error(f"unknown --configs {unknown}; choose from {sorted(GRID)}")
     results = []
     for name in names:
         for seed in args.seeds:

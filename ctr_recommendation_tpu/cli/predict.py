@@ -103,13 +103,11 @@ def main(argv=None) -> int:
         # (inference/pipeline.py). Constant host memory at any split size.
         from ctr_recommendation_tpu.inference import run_submission_pipeline
 
-        written = run_submission_pipeline(
+        written, csv_path, zip_path = run_submission_pipeline(
             exp.dataset.test_data, pred, args.out_dir,
             batch_size=args.batch_size,
         )
         assert written == n_rows
-        csv_path = os.path.join(args.out_dir, "prediction_fibinet.csv")
-        zip_path = os.path.join(args.out_dir, "submission_fibinet.zip")
     print(f"[out] {csv_path}\n[out] {zip_path}")
     return 0
 

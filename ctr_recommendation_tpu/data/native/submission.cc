@@ -156,16 +156,19 @@ int64_t submission_zip_file(const char* src_path, const char* zip_path,
 
   FILE* out = std::fopen(zip_path, "wb");
   if (out == nullptr) return -1;
+  // every write feeds an ok flag: a short write (disk full) must yield -1,
+  // never a positive byte count over a truncated archive
+  bool wok = true;
   auto put16 = [&](uint16_t v) {
     unsigned char b[2] = {static_cast<unsigned char>(v),
                           static_cast<unsigned char>(v >> 8)};
-    std::fwrite(b, 1, 2, out);
+    wok &= std::fwrite(b, 1, 2, out) == 2;
   };
   auto put32 = [&](uint32_t v) {
     unsigned char b[4] = {
         static_cast<unsigned char>(v), static_cast<unsigned char>(v >> 8),
         static_cast<unsigned char>(v >> 16), static_cast<unsigned char>(v >> 24)};
-    std::fwrite(b, 1, 4, out);
+    wok &= std::fwrite(b, 1, 4, out) == 4;
   };
   uint16_t name_len = static_cast<uint16_t>(std::strlen(arcname));
   // DOS date/time from current local time (zipfile does the same)
@@ -193,8 +196,8 @@ int64_t submission_zip_file(const char* src_path, const char* zip_path,
   put32(static_cast<uint32_t>(data.size()));
   put16(name_len);
   put16(0);  // extra len
-  std::fwrite(arcname, 1, name_len, out);
-  std::fwrite(comp.data(), 1, comp.size(), out);
+  wok &= std::fwrite(arcname, 1, name_len, out) == name_len;
+  wok &= std::fwrite(comp.data(), 1, comp.size(), out) == comp.size();
   long cd_offset = std::ftell(out);
 
   // central directory
@@ -215,7 +218,7 @@ int64_t submission_zip_file(const char* src_path, const char* zip_path,
   put16(0);  // internal attrs
   put32(0);  // external attrs
   put32(0);  // local header offset
-  std::fwrite(arcname, 1, name_len, out);
+  wok &= std::fwrite(arcname, 1, name_len, out) == name_len;
   long cd_size = std::ftell(out) - cd_offset;
 
   // end of central directory
@@ -228,8 +231,8 @@ int64_t submission_zip_file(const char* src_path, const char* zip_path,
   put32(static_cast<uint32_t>(cd_offset));
   put16(0);
   long total = std::ftell(out);
-  std::fclose(out);
-  return total;
+  wok &= std::fclose(out) == 0;
+  return wok ? total : -1;
 }
 
 }  // extern "C"

@@ -53,10 +53,6 @@ class WireEntry:
 class WirePlan:
     entries: tuple[WireEntry, ...]
 
-    @property
-    def seq_names(self) -> tuple[str, ...]:
-        return tuple(e.name for e in self.entries if e.is_seq)
-
 
 def _code_for(fm: FeatureMap, name: str) -> str:
     table = fm.table(fm.table_of[name])
@@ -90,16 +86,6 @@ def build_wire_plan(fm: FeatureMap) -> WirePlan:
                 )
             )
     return WirePlan(tuple(entries))
-
-
-def _scalar_nbytes(code: str, count: int) -> int:
-    if code == "u8":
-        return count
-    if code == "u16":
-        return 2 * count
-    if code == "u16b":
-        return 2 * count + (count + 7) // 8
-    return 4 * count
 
 
 def value_capacity(total_len: int, n_rows: int, max_len: int) -> int:

@@ -62,10 +62,18 @@ def write_csv_chunk(
     probs: np.ndarray, csv_path: str, *, id_offset: int, append: bool
 ) -> None:
     """Append one chunk of (id, prob) rows; header on the first chunk.
-    Native formatter when available, pandas fallback otherwise."""
+    Native formatter when available, pandas fallback otherwise. A FAILED
+    native append may have written partial rows (it streams per-thread
+    buffers) — the file is truncated back to its pre-call size before the
+    fallback so the chunk is never duplicated."""
     probs = np.asarray(probs, dtype=np.float32).ravel()
+    pre_size = (
+        os.path.getsize(csv_path) if append and os.path.exists(csv_path) else 0
+    )
     if native.write_csv(probs, csv_path, id_offset=id_offset, append=append):
         return
+    if append and os.path.exists(csv_path):
+        os.truncate(csv_path, pre_size)
     import pandas as pd
 
     pd.DataFrame(
@@ -87,15 +95,15 @@ def run_submission_pipeline(
     chunk_rows: int = 65_536,
     csv_name: str = "prediction_fibinet.csv",
     zip_name: str = "submission_fibinet.zip",
-) -> int:
+) -> tuple[int, str, str]:
     """Stream `test_path` through the predictor into the submission CSV+zip.
 
-    Returns the number of rows written. Row order (and therefore the ID
-    column) matches the parquet file exactly; probabilities are identical
-    to the bulk score_table path (same jitted scoring step).
+    Returns ``(rows_written, csv_path, zip_path)``. Row order (and
+    therefore the ID column) matches the parquet file exactly;
+    probabilities are identical to the bulk score_table path (same jitted
+    scoring step, predictor.build_scan_scorer).
     """
     import jax
-    import jax.numpy as jnp
     import pyarrow.parquet as pq
 
     from ctr_recommendation_tpu.inference.submission import zip_submission
@@ -162,6 +170,8 @@ def run_submission_pipeline(
     # pipeline invocation — the round-<=4 score_table bug all over again):
     # unpack the wire buffer on device, then the same scan-of-batches the
     # bulk path runs
+    from ctr_recommendation_tpu.inference.predictor import build_scan_scorer
+
     score = predictor._score
     if not hasattr(predictor, "_wire_cache"):
         predictor._wire_cache = {}
@@ -171,28 +181,12 @@ def run_submission_pipeline(
         key = (batch_size, layout.n_rows, layout.caps, layout.total_bytes)
         fn = fn_cache.get(key)
         if fn is None:
-            unpack = build_unpacker(layout)
-            num_batches = layout.n_rows // batch_size
-
-            @jax.jit
-            def score_chunk(params, model_state, mm_tables, buf):
-                data = unpack(buf)
-
-                def body(_, i):
-                    batch = {
-                        k: jax.lax.dynamic_slice_in_dim(
-                            v, i * batch_size, batch_size
-                        )
-                        for k, v in data.items()
-                    }
-                    return None, score(params, model_state, mm_tables, batch)
-
-                _, probs = jax.lax.scan(
-                    body, None, jnp.arange(num_batches, dtype=jnp.int32)
-                )
-                return probs.reshape(-1)
-
-            fn = fn_cache[key] = score_chunk
+            fn = fn_cache[key] = build_scan_scorer(
+                score,
+                batch_size,
+                layout.n_rows // batch_size,
+                prologue=build_unpacker(layout),
+            )
         return fn
 
     t_reader = threading.Thread(target=reader, daemon=True)
@@ -200,11 +194,25 @@ def run_submission_pipeline(
     t_reader.start()
     t_writer.start()
 
+    def put_to_writer(item) -> bool:
+        """Bounded put that cannot deadlock on a dead writer: if the
+        writer thread has exited (its error is in ``errors``), give up so
+        the caller stops and the error propagates."""
+        while t_writer.is_alive():
+            try:
+                q_scored.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     total = 0
     try:
         while True:
             item = q_packed.get()
             if item is _SENTINEL:
+                break
+            if errors:
                 break
             n_valid, buf, layout = item
             dev = jax.device_put(buf)
@@ -215,10 +223,11 @@ def run_submission_pipeline(
                 predictor._mm_tables,
                 dev,
             )
-            q_scored.put((n_valid, probs))  # async: dispatch only
+            if not put_to_writer((n_valid, probs)):  # async: dispatch only
+                break
             total += n_valid
     finally:
-        q_scored.put(_SENTINEL)
+        put_to_writer(_SENTINEL)
         t_writer.join()
         # if main stopped consuming early (error path), the reader may be
         # blocked on a full q_packed — drain until it exits
@@ -230,4 +239,4 @@ def run_submission_pipeline(
             t_reader.join(timeout=0.05)
     if errors:
         raise errors[0]
-    return total
+    return total, csv_path, zip_path

@@ -26,6 +26,35 @@ from ctr_recommendation_tpu.models.registry import get_model
 from ctr_recommendation_tpu.ops import mlp as mlp_ops
 
 
+def build_scan_scorer(score, batch_size: int, num_batches: int, prologue=None):
+    """ONE jitted program scoring ``num_batches`` fixed-size batches as a
+    lax.scan over slices — the device program shared by the bulk
+    score_table path and the pipelined chunk path. ``prologue(data)``
+    optionally transforms the input (the wire unpack) before slicing.
+    Callers must cache the returned function: rebuilding a jit closure per
+    call re-traces and re-loads the executable (~1-2 s through remote
+    setups for a ~55 ms scan — the round-4 bug)."""
+
+    @jax.jit
+    def score_all(params, model_state, mm_tables, data):
+        if prologue is not None:
+            data = prologue(data)
+
+        def body(_, i):
+            batch = {
+                k: jax.lax.dynamic_slice_in_dim(v, i * batch_size, batch_size)
+                for k, v in data.items()
+            }
+            return None, score(params, model_state, mm_tables, batch)
+
+        _, probs = jax.lax.scan(
+            body, None, jnp.arange(num_batches, dtype=jnp.int32)
+        )
+        return probs.reshape(-1)
+
+    return score_all
+
+
 class Predictor:
     def __init__(
         self,
@@ -137,8 +166,6 @@ class Predictor:
         self._bulk_cache: dict[tuple, object] = {}
 
     def _bulk_scorer(self, batch_size: int, num_batches: int, cols: dict):
-        import jax.numpy as jnp
-
         key = (
             batch_size,
             num_batches,
@@ -146,25 +173,9 @@ class Predictor:
         )
         fn = self._bulk_cache.get(key)
         if fn is None:
-            score = self._score
-
-            @jax.jit
-            def score_all(params, model_state, mm_tables, data):
-                def body(_, i):
-                    batch = {
-                        k: jax.lax.dynamic_slice_in_dim(
-                            v, i * batch_size, batch_size
-                        )
-                        for k, v in data.items()
-                    }
-                    return None, score(params, model_state, mm_tables, batch)
-
-                _, probs = jax.lax.scan(
-                    body, None, jnp.arange(num_batches, dtype=jnp.int32)
-                )
-                return probs.reshape(-1)
-
-            fn = self._bulk_cache[key] = score_all
+            fn = self._bulk_cache[key] = build_scan_scorer(
+                self._score, batch_size, num_batches
+            )
         return fn
 
     def __call__(self, batch: dict[str, np.ndarray]) -> jax.Array:

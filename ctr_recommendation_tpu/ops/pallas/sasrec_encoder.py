@@ -647,8 +647,12 @@ def fused_encode(
     x = jnp.where(pad[..., None], jnp.zeros((), x.dtype), x)
     amask = jnp.where(pad, jnp.float32(_NEG_INF), jnp.float32(0.0))
     weights = _stack_weights(params)
-    seed = _seed_from_rng(rng if (train and dropout_rate > 0.0) else None)
-    rate = float(dropout_rate) if train else 0.0
+    # dropout is active only when an rng is supplied — the jnp reference
+    # encode skips dropout entirely at rng=None even in train mode, and
+    # the constant-seed alternative would reuse one mask every step
+    drop_on = train and dropout_rate > 0.0 and rng is not None
+    seed = _seed_from_rng(rng if drop_on else None)
+    rate = float(dropout_rate) if drop_on else 0.0
     if rate > 0.0:
         # dropout masks are regenerated in the backward by reseeding per
         # grid step — forward and backward must therefore run the SAME

@@ -1197,7 +1197,12 @@ class Trainer:
                 hp, hn, labels, probs, weight, num_bins=nbins
             )
             bw = jnp.sum(weight)
-            ll_sum = ll_sum + metrics_lib.logloss(labels, probs, weight) * bw
+            # logloss() divides by max(sum(w), 1) — undo with the SAME
+            # clamp so a batch with fractional total weight contributes
+            # its true weighted-loss mass
+            ll_sum = ll_sum + metrics_lib.logloss(labels, probs, weight) * (
+                jnp.maximum(bw, 1.0)
+            )
             w_sum = w_sum + bw
         auc_v = metrics_lib.binned_auc_finalize(hp, hn)
         ll = ll_sum / jnp.maximum(w_sum, 1.0)

@@ -145,10 +145,11 @@ def test_pipeline_matches_bulk(tmp_path, tiny_experiment, tiny_feature_map):
     bulk = pred.score_table(test, batch_size=128)
 
     out_dir = str(tmp_path / "out")
-    n = run_submission_pipeline(
+    n, csv_path, zip_path = run_submission_pipeline(
         test_path, pred, out_dir, batch_size=128, chunk_rows=256
     )
     assert n == test.num_rows
+    assert csv_path == os.path.join(out_dir, "prediction_fibinet.csv")
 
     with open(os.path.join(out_dir, "prediction_fibinet.csv")) as f:
         rows = list(csv.reader(f))
